@@ -1,0 +1,190 @@
+"""Multi-view flow-consistency (geometric) losses.
+
+Redesigns of the reference ``Single_Frame_Flow_Consistency_Loss`` (reference
+model/networks.py:609-661) and ``Multi_Frame_Flow_Consistency_Loss``
+(model/networks.py:554-607) as pure functions over NHW(-C) arrays.
+
+For an ordered view pair (0 -> 1):
+  - unproject view-0 depth with pose 0, project into view 1 -> (uv1, d1);
+  - sample view-1's depth map at the *optical-flow*-displaced coordinates
+    (zeros padding) -> depth10;
+  - diff = |d1 - depth10| (clamped to [0, clamp] in the single-frame
+    variant only — the multi-frame variant takes clamp but never applies it,
+    reference model/networks.py:580);
+  - masks (all under stop_gradient):
+      fb_mask: forward-backward flow check
+               ||f01 + f10∘w||^2 < 0.5 + 0.02 (||f01||^2 + ||f10∘w||^2)
+      vc_mask: visibility/ambient consistency |amb0 - amb1∘w| < 0.01
+      rf_mask (multi-frame only): reproject the *primary* depth of view 1
+               into view 0 and require the flow-warped round-trip pixel error
+               to be < 1 px (reference model/networks.py:591-595);
+  - loss = sum(diff * mask) / (sum(mask) + 1e-8), symmetrized over 0<->1.
+
+The track's C(tl,2) view pairs are evaluated with ``vmap`` over pair-index
+arrays (see ``pairwise_indices``) instead of the reference's Python loop —
+one fused XLA computation for all pairs.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.sampling import bilinear_sample
+from ..ops.geometry import pixel_rays, reproject
+
+
+class CameraGeometry(NamedTuple):
+    """Static per-scale camera model: intrinsics + per-pixel rays + grid."""
+    K: jax.Array          # (3, 3)
+    ray: jax.Array        # (H*W, 3)
+    grid: jax.Array       # (H, W, 2) pixel coordinates (u, v)
+    height: int
+    width: int
+
+    @staticmethod
+    def create(K: np.ndarray, height: int, width: int) -> "CameraGeometry":
+        Ki = np.linalg.inv(K)
+        ray = pixel_rays(Ki, height, width)
+        u, v = np.meshgrid(np.arange(width, dtype=np.float32),
+                           np.arange(height, dtype=np.float32))
+        grid = np.stack([u, v], axis=-1)
+        return CameraGeometry(jnp.asarray(K.astype(np.float32)),
+                              jnp.asarray(ray), jnp.asarray(grid),
+                              height, width)
+
+
+def _flow_coords(cam: CameraGeometry, flow: jax.Array):
+    """Target sample coordinates = identity grid + flow. flow: (N,H,W,2)."""
+    x = flow[..., 0] + cam.grid[None, ..., 0]
+    y = flow[..., 1] + cam.grid[None, ..., 1]
+    return x, y
+
+
+def _fb_vc_masks(cam, flow0, flow1, amb0, amb1, fx, fy):
+    """Forward-backward + visibility-consistency masks (no grad)."""
+    flow10 = bilinear_sample(flow1, fx, fy, padding="zeros")
+    fb = (jnp.sum((flow0 + flow10) ** 2, axis=-1)
+          < 0.5 + 0.02 * (jnp.sum(flow0 ** 2, axis=-1)
+                          + jnp.sum(flow10 ** 2, axis=-1)))
+    amb10 = bilinear_sample(amb1[..., None], fx, fy, padding="zeros")[..., 0]
+    vc = jnp.abs(amb0 - amb10) < 0.01
+    return fb.astype(jnp.float32), vc.astype(jnp.float32)
+
+
+def _projected_depth_diff(cam, depth0, depth1, R0, t0, R1, t1, fx, fy):
+    N = depth0.shape[0]
+    _, d1 = reproject(depth0, cam.ray, cam.K, R0, t0, R1, t1)
+    d1 = d1.reshape(N, cam.height, cam.width)
+    depth10 = bilinear_sample(depth1[..., None], fx, fy, padding="zeros")[..., 0]
+    return jnp.abs(d1 - depth10)
+
+
+def flow_consistency_sf(cam: CameraGeometry,
+                        depth0, depth1, R0, t0, R1, t1,
+                        flow0, flow1, amb0, amb1,
+                        clamp: float = 0.1) -> jax.Array:
+    """Symmetrized single-frame flow-consistency loss for one view pair.
+
+    depth/amb: (N, H, W); flow: (N, H, W, 2); R: (N,3,3); t: (N,3).
+    """
+    def one_way(d0, d1_, Ra, ta, Rb, tb, f0, f1, a0, a1):
+        fx, fy = _flow_coords(cam, f0)
+        diff = _projected_depth_diff(cam, d0, d1_, Ra, ta, Rb, tb, fx, fy)
+        if clamp > 0:
+            diff = jnp.clip(diff, 0.0, clamp)
+        f0_s, f1_s = jax.lax.stop_gradient(f0), jax.lax.stop_gradient(f1)
+        fxs, fys = jax.lax.stop_gradient(fx), jax.lax.stop_gradient(fy)
+        fb, vc = _fb_vc_masks(cam, f0_s, f1_s,
+                              jax.lax.stop_gradient(a0),
+                              jax.lax.stop_gradient(a1), fxs, fys)
+        mask = jax.lax.stop_gradient(fb * vc)
+        return jnp.sum(diff * mask) / (jnp.sum(mask) + 1e-8)
+
+    l0 = one_way(depth0, depth1, R0, t0, R1, t1, flow0, flow1, amb0, amb1)
+    l1 = one_way(depth1, depth0, R1, t1, R0, t0, flow1, flow0, amb1, amb0)
+    return l0 + l1
+
+
+def flow_consistency_mf(cam: CameraGeometry,
+                        depth0, depth1, R0, t0, R1, t1,
+                        flow0, flow1, amb0, amb1,
+                        primary_depth0, primary_depth1) -> jax.Array:
+    """Symmetrized multi-frame flow-consistency loss for one view pair,
+    with the extra primary-depth round-trip mask (rf_mask)."""
+    N = depth0.shape[0]
+
+    def one_way(d0, d1_, Ra, ta, Rb, tb, f0, f1, a0, a1, pd1):
+        fx, fy = _flow_coords(cam, f0)
+        diff = _projected_depth_diff(cam, d0, d1_, Ra, ta, Rb, tb, fx, fy)
+        f0_s, f1_s = jax.lax.stop_gradient(f0), jax.lax.stop_gradient(f1)
+        fxs, fys = jax.lax.stop_gradient(fx), jax.lax.stop_gradient(fy)
+        fb, vc = _fb_vc_masks(cam, f0_s, f1_s,
+                              jax.lax.stop_gradient(a0),
+                              jax.lax.stop_gradient(a1), fxs, fys)
+        # rf_mask: project view-1's primary depth back into view 0; the
+        # flow-warped uv0 field must round-trip to the identity grid.
+        uv0, _ = reproject(jax.lax.stop_gradient(pd1), cam.ray, cam.K,
+                           jax.lax.stop_gradient(Rb), jax.lax.stop_gradient(tb),
+                           jax.lax.stop_gradient(Ra), jax.lax.stop_gradient(ta))
+        uv0 = uv0.reshape(N, cam.height, cam.width, 2)
+        warped_uv0 = bilinear_sample(uv0, fxs, fys, padding="zeros")
+        rf = (jnp.sum((warped_uv0 - cam.grid[None]) ** 2, axis=-1)
+              < 1.0).astype(jnp.float32)
+        mask = jax.lax.stop_gradient(fb * vc * rf)
+        return jnp.sum(diff * mask) / (jnp.sum(mask) + 1e-8)
+
+    l0 = one_way(depth0, depth1, R0, t0, R1, t1, flow0, flow1, amb0, amb1,
+                 primary_depth1)
+    l1 = one_way(depth1, depth0, R1, t1, R0, t0, flow1, flow0, amb1, amb0,
+                 primary_depth0)
+    return l0 + l1
+
+
+def pairwise_indices(track_length: int) -> tuple[np.ndarray, np.ndarray]:
+    """Index arrays (i, j) for all C(tl, 2) unordered view pairs, matching the
+    reference's nested loop order (single_frame_worker.py:135-149)."""
+    ii, jj = [], []
+    for i in range(track_length):
+        for j in range(i + 1, track_length):
+            ii.append(i)
+            jj.append(j)
+    return np.asarray(ii, np.int32), np.asarray(jj, np.int32)
+
+
+def geometric_loss_sf(cam: CameraGeometry, depth, R, t, flow, amb,
+                      clamp: float = 0.1) -> jax.Array:
+    """Sum of the SF pair losses over all C(tl,2) pairs, vmapped.
+
+    depth/amb: (tl, N, H, W); R: (tl, N, 3, 3); t: (tl, N, 3);
+    flow: (tl, tl, N, H, W, 2) with flow[i, j] = flow from frame i to j.
+    Returns the *sum* over pairs (caller applies 0.2/ge_num weighting,
+    reference single_frame_worker.py:149).
+    """
+    ii, jj = pairwise_indices(depth.shape[0])
+
+    def pair(i, j):
+        return flow_consistency_sf(
+            cam, depth[i], depth[j], R[i], t[i], R[j], t[j],
+            flow[i, j], flow[j, i], amb[i], amb[j], clamp=clamp)
+
+    vals = jax.vmap(pair)(jnp.asarray(ii), jnp.asarray(jj))
+    return jnp.sum(vals)
+
+
+def geometric_loss_mf(cam: CameraGeometry, depth, R, t, flow, amb,
+                      primary_depth) -> jax.Array:
+    """Sum of the MF pair losses over all C(tl,2) pairs, vmapped."""
+    ii, jj = pairwise_indices(depth.shape[0])
+
+    def pair(i, j):
+        return flow_consistency_mf(
+            cam, depth[i], depth[j], R[i], t[i], R[j], t[j],
+            flow[i, j], flow[j, i], amb[i], amb[j],
+            primary_depth[i], primary_depth[j])
+
+    vals = jax.vmap(pair)(jnp.asarray(ii), jnp.asarray(jj))
+    return jnp.sum(vals)

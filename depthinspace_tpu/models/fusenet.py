@@ -1,0 +1,365 @@
+"""DIS-MF multi-frame fusion network (FuseNet).
+
+Re-design of the reference ``FuseNet`` / ``Block2D3D`` / ``Conv3D``
+(reference model/multi_frame_networks.py:101-541) as Flax modules in NHWC
+layout. The network fuses the 4 frames of a track: it encodes each frame at
+half resolution ("core"), unprojects the primary depth to per-frame 3D point
+clouds, flow-warps the other frames' points/features into each target view,
+and runs N fusion blocks that mix 2D convolutions with a continuous
+k-nearest-neighbor convolution over the warped 3D points, before decoding a
+refined full-resolution disparity.
+
+TPU-first redesign choices
+--------------------------
+- The reference's Python loops over target frames (model/multi_frame_
+  networks.py:287-297,381-404) become ``vmap`` over a precomputed source-order
+  index table (self first, then the other frames ascending — position 0 must
+  be the target frame because the point-conv picks its center reference from
+  stack position 0, reference model/multi_frame_networks.py:491-493).
+- ``Conv3D``'s unfold/topk/gather (reference :469-511) is expressed with
+  static strided slices + ``lax.top_k`` + ``take_along_axis`` — all static
+  shapes (9 neighbors from the 3x3 x tl = 36 candidates).
+- ``torch.utils.checkpoint`` on the fusion blocks (reference :365-371)
+  becomes ``nn.remat`` on Block2D3D and the decoder ResNet chain.
+- The half-resolution ray grid replicates the reference's cv2 INTER_NEAREST
+  subsampling (even pixel indices, reference :121-128).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops.sampling import warp, resize_bilinear, resize_flow
+from .dispnet import SigmoidAffineHead
+
+
+def _selu_conv(features, kernel, stride=1, name=None):
+    """ZeroPad + Conv + SELU (reference FuseNet.conv, :159-164)."""
+    return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
+                   padding="SAME", name=name)
+
+
+class ResNetBlock(nn.Module):
+    """conv-SELU-GN x2 + identity (reference model/multi_frame_networks.py:514-541)."""
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Conv(self.features, (3, 3), padding="SAME")(x)
+        y = nn.selu(y)
+        y = nn.GroupNorm(num_groups=1)(y)
+        y = nn.Conv(self.features, (3, 3), padding="SAME")(y)
+        y = nn.GroupNorm(num_groups=1)(y)
+        return nn.selu(y + x)
+
+
+def source_order(track_length: int) -> np.ndarray:
+    """ORDER[i] = [i, frames != i in ascending order]; stack position 0 is the
+    target frame itself (reference gather_warped_xyz/feat,
+    model/multi_frame_networks.py:187-214,347-360)."""
+    order = []
+    for i in range(track_length):
+        order.append([i] + [j for j in range(track_length) if j != i])
+    return np.asarray(order, np.int32)
+
+
+def _extract_patches(x: jax.Array, ksize: int, stride: int) -> jax.Array:
+    """x: (..., h, w, C) -> (..., h', w', ksize*ksize, C) via static strided
+    slices over a zero-padded input (zero padding matches the reference's
+    constant-0 pad, model/multi_frame_networks.py:472-474)."""
+    p = (ksize - 1) // 2
+    *lead, h, w, c = x.shape
+    pad = [(0, 0)] * len(lead) + [(p, p), (p, p), (0, 0)]
+    xp = jnp.pad(x, pad)
+    ho = (h - 1) // stride + 1
+    wo = (w - 1) // stride + 1
+    pats = []
+    for dy in range(ksize):
+        for dx in range(ksize):
+            pats.append(xp[..., dy:dy + (ho - 1) * stride + 1:stride,
+                           dx:dx + (wo - 1) * stride + 1:stride, :])
+    return jnp.stack(pats, axis=-2)
+
+
+class PointConv(nn.Module):
+    """Continuous kNN convolution over warped 3D point clouds.
+
+    Redesign of the reference ``Conv3D`` (model/multi_frame_networks.py:
+    432-512): for every output location, gather the 3x3 x tl spatio-temporal
+    candidate points, pick the 9 nearest in normalized image-plane distance
+    (masked), run an MLP on the relative xyz to produce per-neighbor weights,
+    and take the weighted feature sum through a linear map + SELU + GroupNorm.
+    """
+    features: int
+    neighbors: int = 9
+    ksize: int = 3
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, xyz, feat, mask):
+        """xyz: (tl, N, h, w, 3) in the target camera frame (stack position 0
+        = target); feat: (tl, N, h, w, C); mask: (tl, N, h, w, 1).
+        Returns (N, h', w', features)."""
+        tl = xyz.shape[0]
+        k2 = self.ksize * self.ksize
+
+        def pats(v):
+            # (tl, N, h, w, C) -> (N, h', w', k2, tl, C) -> (N,h',w',k2*tl,C)
+            p = _extract_patches(v, self.ksize, self.stride)
+            p = jnp.moveaxis(p, 0, -3)            # (N, h', w', k2, tl, C)
+            return p.reshape(*p.shape[:3], k2 * tl, p.shape[-1])
+
+        xyz_p = pats(xyz)
+        feat_p = pats(feat)
+        mask_p = pats(mask)
+
+        # normalized image-plane coordinates (x/z, y/z, 1)
+        xyz_plane = xyz_p / (xyz_p[..., 2:] + 1e-12)
+        center = (k2 // 2) * tl                   # center pixel, target frame
+        xyz_local = xyz_p - xyz_p[..., center:center + 1, :]
+        plane_local = xyz_plane - xyz_plane[..., center:center + 1, :]
+        dist = jnp.sum(plane_local * plane_local, axis=-1)      # (N,h',w',k2*tl)
+
+        # push masked-out candidates beyond the global max so top_k skips them
+        m = mask_p[..., 0]
+        dist_masked = m * dist + (1.0 - m) * (jnp.max(dist) + 1.0)
+        _, idx = jax.lax.top_k(-dist_masked, self.neighbors)    # 9 smallest
+
+        def take(v):
+            return jnp.take_along_axis(v, idx[..., None], axis=-2)
+
+        xyz_nb = take(xyz_local)                  # (N, h', w', 9, 3)
+        feat_nb = take(feat_p)                    # (N, h', w', 9, C)
+
+        wgt = nn.selu(nn.Dense(self.features // 2)(xyz_nb))
+        wgt = nn.selu(nn.Dense(self.features)(wgt))             # (N,h',w',9,F)
+
+        feat_weighted = jnp.sum(wgt * feat_nb, axis=-2)         # (N, h', w', F)
+        out = nn.Dense(self.features, use_bias=False,
+                       kernel_init=nn.initializers.xavier_uniform())(feat_weighted)
+        out = nn.selu(out)
+        return nn.GroupNorm(num_groups=1)(out)
+
+
+class Block2D3D(nn.Module):
+    """One fusion block: flow-warped multi-frame 2D merge at two scales +
+    two point convolutions, fused with a residual SELU
+    (reference model/multi_frame_networks.py:307-430)."""
+    features: int
+    track_length: int
+
+    @nn.compact
+    def __call__(self, feat, warped_xyz, warped_mask, flow):
+        """feat: (tl, N, h, w, C); warped_xyz: (tl_t, tl_s, N, h, w, 3);
+        warped_mask: (tl_t, tl_s, N, h, w, 1); flow: (tl, tl, N, h, w, 2)."""
+        tl = self.track_length
+        order = source_order(tl)
+
+        def gather_warped_feat(f, fl):
+            # For each target i: stack [f[i]] + [warp(f[j], fl[i, j]) for
+            # j != i] — static unroll over the (tiny) track length.
+            outs = []
+            for i in range(tl):
+                srcs = [f[i]] + [warp(f[j], fl[i, j]) for j in order[i][1:]]
+                outs.append(jnp.stack(srcs, axis=0))
+            return jnp.stack(outs, axis=0)
+
+        # --- point-conv branch ------------------------------------------
+        warped_feat = gather_warped_feat(feat, flow)   # (tl_t, tl_s, N, h, w, C)
+
+        # vmap the point conv over the target-frame axis (shared params)
+        Pc1 = nn.vmap(PointConv, in_axes=(0, 0, 0), out_axes=0,
+                      variable_axes={"params": None}, split_rngs={"params": False})
+        out3d_1 = Pc1(self.features, stride=2, name="conv3d_1")(
+            warped_xyz, warped_feat, warped_mask)          # (tl, N, h/2, w/2, C)
+
+        # second point conv at the coarser scale
+        h2, w2 = out3d_1.shape[2], out3d_1.shape[3]
+        flow_half = _resize_flow_grid(flow, h2, w2)
+        xyz_half = _resize_leading(warped_xyz, h2, w2)
+        mask_half = (_resize_leading(warped_mask, h2, w2) > 0.5).astype(
+            warped_mask.dtype)
+        warped_feat2 = gather_warped_feat(out3d_1, flow_half)
+        Pc2 = nn.vmap(PointConv, in_axes=(0, 0, 0), out_axes=0,
+                      variable_axes={"params": None}, split_rngs={"params": False})
+        out3d_2 = Pc2(self.features, stride=1, name="conv3d_2")(
+            xyz_half, warped_feat2, mask_half)             # (tl, N, h/2, w/2, C)
+
+        # --- 2D branch ---------------------------------------------------
+        # mask-weighted merge of the warped feature stack
+        # (reference fwd_2d, :406-430)
+        mmean = jnp.mean(warped_mask, axis=1, keepdims=True)
+        wf = warped_feat * warped_mask / mmean             # (tl_t, tl_s, N, h, w, C)
+        tl_t, tl_s, N, h, w, C = wf.shape
+        wf = jnp.moveaxis(wf, 1, -2).reshape(tl_t * N, h, w, tl_s * C)
+
+        mf = nn.Conv(self.features, (1, 1), name="conv_mf")(wf)
+        mf = nn.GroupNorm(num_groups=1)(mf)
+
+        b1 = nn.GroupNorm(num_groups=1)(nn.selu(
+            nn.Conv(self.features, (3, 3), padding="SAME")(mf)))
+        b1 = nn.GroupNorm(num_groups=1)(nn.selu(
+            nn.Conv(self.features, (3, 3), padding="SAME")(b1)))
+
+        b2 = nn.GroupNorm(num_groups=1)(nn.selu(
+            nn.Conv(self.features, (4, 4), strides=(2, 2), padding="SAME")(mf)))
+        b2 = nn.GroupNorm(num_groups=1)(nn.selu(
+            nn.Conv(self.features, (3, 3), padding="SAME")(b2)))
+        b2 = resize_bilinear(b2, h, w, align_corners=True)
+
+        o3 = out3d_2.reshape(tl_t * N, h2, w2, C)
+        o3 = resize_bilinear(o3, h, w, align_corners=True)
+
+        fuse = jnp.concatenate([b1, b2, o3], axis=-1)
+        fuse = nn.Conv(self.features, (3, 3), padding="SAME",
+                       name="conv_fuse")(fuse)
+        fuse = nn.GroupNorm(num_groups=1)(fuse)
+
+        out = nn.selu(fuse.reshape(tl_t, N, h, w, C) + feat)
+        return out
+
+
+def _resize_leading(x, h, w):
+    """Resize (..., h0, w0, C) -> (..., h, w, C) bilinear align_corners=True."""
+    lead = x.shape[:-3]
+    flat = x.reshape(-1, *x.shape[-3:])
+    out = resize_bilinear(flat, h, w, align_corners=True)
+    return out.reshape(*lead, h, w, x.shape[-1])
+
+
+def _resize_flow_grid(flow, h, w):
+    """Resize a (tl, tl, N, h0, w0, 2) flow field, rescaling values."""
+    tl0, tl1, N = flow.shape[:3]
+    flat = flow.reshape(tl0 * tl1 * N, *flow.shape[3:])
+    out = resize_flow(flat, h, w)
+    return out.reshape(tl0, tl1, N, h, w, 2)
+
+
+class FuseNet(nn.Module):
+    """Multi-frame fusion network (reference model/multi_frame_networks.py:
+    101-305). Input/output shapes are track-major NHWC.
+
+    __call__(ir, amb, primary_disp, primary_depth, R, t, flow):
+      ir:   (tl, N, H, W, 2)  [LCN(IR), IR]
+      amb:  (tl, N, H, W, 1)
+      primary_disp/primary_depth: (tl, N, H, W, 1)
+      R: (tl, N, 3, 3); t: (tl, N, 3)
+      flow: (tl, tl, N, H, W, 2)
+    Returns disparity (tl, N, H, W, 1).
+    """
+    imsize: tuple[int, int]
+    K: tuple[tuple[float, ...], ...]     # 3x3 intrinsics (hashable)
+    track_length: int = 4
+    block_num: int = 4
+    channels: int = 32
+    max_disp: float = 128.0
+    use_remat: bool = True
+
+    def _core_ray(self):
+        """Half-res ray grid at even pixel indices (reference :121-128 uses
+        cv2 INTER_NEAREST subsampling of the full-res meshgrid)."""
+        H, W = self.imsize
+        ch, cw = H // 2, W // 2
+        Ki = np.linalg.inv(np.asarray(self.K, np.float64))
+        u = (np.arange(cw) * (W / cw)).astype(np.int64)   # cv2 nearest: floor
+        v = (np.arange(ch) * (H / ch)).astype(np.int64)
+        uu, vv = np.meshgrid(u, v)
+        uv1 = np.stack([uu, vv, np.ones_like(uu)], axis=-1).reshape(-1, 3)
+        ray = (uv1 @ Ki.T).astype(np.float32)             # (ch*cw, 3)
+        return jnp.asarray(ray), ch, cw
+
+    @nn.compact
+    def __call__(self, ir, amb, primary_disp, primary_depth, R, t, flow):
+        tl, N, H, W, _ = ir.shape
+        C = self.channels
+        ray, ch, cw = self._core_ray()
+
+        # ---------------- encoder (pre_process, reference :216-227) -------
+        x = jnp.concatenate([ir, amb, primary_disp], axis=-1)
+        x = x.reshape(tl * N, H, W, 4)
+        x = nn.selu(nn.Conv(C // 2, (4, 4), strides=(2, 2), padding="SAME",
+                            name="conv1")(x))
+        x = nn.selu(nn.Conv(C // 2, (3, 3), padding="SAME", name="conv2")(x))
+        x = nn.selu(nn.Conv(C, (3, 3), padding="SAME", name="conv3")(x))
+        x = nn.selu(nn.Conv(C, (3, 3), padding="SAME", name="conv4")(x))
+        x = ResNetBlock(C, name="res1")(x)
+        x = ResNetBlock(C, name="res2")(x)
+        feat = ResNetBlock(C, name="res3")(x)
+        core_feat = feat.reshape(tl, N, ch, cw, C)
+
+        # ---------------- geometry: core xyz per frame --------------------
+        core_depth = _resize_leading(primary_depth, ch, cw)   # (tl,N,ch,cw,1)
+        core_flow = _resize_flow_grid(flow, ch, cw)
+        core_amb = _resize_leading(amb, ch, cw)
+        del core_amb  # parity: loaded but unused by the reference forward
+
+        # unproject: xyz_world = (depth*ray - t) @ R (reference :172-179)
+        d = core_depth.reshape(tl, N, ch * cw, 1)
+        xyz = d * ray[None, None]
+        xyz = xyz - t[:, :, None, :]
+        xyz = jnp.einsum("lnpi,lnij->lnpj", xyz, R)
+
+        # change into each target frame's camera: xyz @ R_i^T + t_i
+        # (reference change_view_angle, :181-185)
+        xyz_t = jnp.einsum("snpj,tnij->tsnpi", xyz, R)        # (tl_t, tl_s, ...)
+        xyz_t = xyz_t + t[:, None, :, None, :]
+        xyz_t = xyz_t.reshape(tl, tl, N, ch, cw, 3)
+
+        order = source_order(tl)
+        # warped xyz + forward-backward masks per target
+        # (reference gather_warped_xyz, :187-214; note the 0.01 factor here
+        # vs 0.02 in the losses)
+        warped_xyz = []
+        warped_mask = []
+        for i in range(tl):
+            xs = [xyz_t[i, i]]
+            ms = [jnp.ones((N, ch, cw, 1), xyz_t.dtype)]
+            for j in order[i][1:]:
+                xs.append(warp(xyz_t[i, j], core_flow[i, j]))
+                f0 = core_flow[i, j]
+                f10 = warp(core_flow[j, i], f0)
+                fb = (jnp.sum((f0 + f10) ** 2, -1)
+                      < 0.5 + 0.01 * (jnp.sum(f0 ** 2, -1)
+                                      + jnp.sum(f10 ** 2, -1)))
+                ms.append(jax.lax.stop_gradient(
+                    fb.astype(xyz_t.dtype)[..., None]))
+            warped_xyz.append(jnp.stack(xs, 0))
+            warped_mask.append(jnp.stack(ms, 0))
+        warped_xyz = jnp.stack(warped_xyz, 0)     # (tl_t, tl_s, N, ch, cw, 3)
+        warped_mask = jnp.stack(warped_mask, 0)
+        warped_xyz = jax.lax.stop_gradient(warped_xyz)
+
+        # ---------------- fusion blocks -----------------------------------
+        block_cls = Block2D3D
+        if self.use_remat:
+            block_cls = nn.remat(Block2D3D, static_argnums=())
+        for b in range(self.block_num):
+            core_feat = block_cls(C, self.track_length,
+                                  name=f"block{b}")(core_feat, warped_xyz,
+                                                    warped_mask, core_flow)
+
+        # ---------------- decoder (post_process, reference :229-267) ------
+        feat = core_feat.reshape(tl * N, ch, cw, C)
+        up = resize_bilinear(feat, H, W, align_corners=True)
+
+        a = amb.reshape(tl * N, H, W, 1)
+        a = nn.selu(nn.Conv(16, (3, 3), padding="SAME", name="amb_conv")(a))
+        amb_block = nn.remat(ResNetBlock) if self.use_remat else ResNetBlock
+        a = amb_block(16, name="amb_res1")(a)
+        a = amb_block(16, name="amb_res2")(a)
+
+        y = jnp.concatenate([up, a], axis=-1)
+        y = nn.selu(nn.Conv(32, (3, 3), padding="SAME", name="ref_conv")(y))
+        ref_block = nn.remat(ResNetBlock) if self.use_remat else ResNetBlock
+        y = ref_block(32, name="ref_res1")(y)
+        y = ref_block(32, name="ref_res2")(y)
+        y = ref_block(32, name="ref_res3")(y)
+        y = nn.selu(nn.Conv(16, (3, 3), padding="SAME", name="final_conv")(y))
+
+        disp = SigmoidAffineHead(self.max_disp, name="predict_disp")(y)
+        return disp.reshape(tl, N, H, W, 1)

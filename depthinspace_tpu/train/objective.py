@@ -1,0 +1,170 @@
+"""Total training objectives for DIS-SF / DIS-FTSF / DIS-MF.
+
+Assembles the loss stacks of the reference workers as pure functions that
+run *inside* the jitted train step (LCN preprocessing included — the
+reference did LCN eagerly per batch, model/worker.py:430-445):
+
+DIS-SF (reference single_frame_worker.py:101-165):
+  sum_s photometric(out_s) / 2^s
+  + 0.4 * smoothness(out_0)
+  + (0.2 / C(tl,2)) * sum_pairs sf_flow_consistency(depth(out_0))
+  + [use_pseudo_gt] 0.1 * sum_s L1(out_s, pseudo_gt) / 2^s
+  + [real, epoch < warmup] 0.1 * sum_s masked-noisy-L1(out_s, sgm_disp)
+
+DIS-MF (reference multi_frame_worker.py:103-175):
+  photometric(out) + 0.8 * smoothness(out)
+  + (0.2 / C(tl,2)) * sum_pairs mf_flow_consistency(depth(out))
+  + [epoch < 2] 0.1 * L1(out, primary_disp)
+  + [real, epoch < warmup] 0.1 * masked-noisy-L1(out, sgm_disp)
+
+Epoch-dependent warmup terms are expressed with ``jnp.where`` gates so a
+single compiled graph covers all epochs.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import lcn, disp_to_depth
+from ..losses import (CameraGeometry, photometric_loss, smoothness_loss,
+                      geometric_loss_sf, geometric_loss_mf)
+
+
+class LossContext(NamedTuple):
+    """Static per-run loss configuration + precomputed constants."""
+    cam: CameraGeometry
+    pattern_lcn: jax.Array           # (H, W) LCN-normalized pattern
+    focal_length: float
+    baseline: float
+    track_length: int
+    data_type: str = "synthetic"
+    warmup_epochs: int = 150
+    use_pseudo_gt: bool = False
+    lcn_radius: int = 5
+    smooth_weight_sf: float = 0.4
+    smooth_weight_mf: float = 0.8
+    geo_weight: float = 0.2
+    pseudo_weight: float = 0.1
+    sgm_weight: float = 0.1
+    mf_primary_warmup_weight: float = 0.1
+    mf_primary_warmup_epochs: int = 2
+    sgm_noise_sigma: float = 1.5
+    sgm_valid_threshold: float = 30.0
+    geo_clamp: float = 0.1
+
+
+def make_loss_context(settings, track_length=4, **kwargs) -> LossContext:
+    H, W = settings.imsize
+    cam = CameraGeometry.create(settings.K, H, W)
+    pat_lcn, _ = lcn(jnp.asarray(settings.pattern_gray()),
+                     kwargs.get("lcn_radius", 5), 0.05)
+    return LossContext(cam=cam, pattern_lcn=pat_lcn,
+                       focal_length=settings.focal_length,
+                       baseline=settings.baseline,
+                       track_length=track_length, **kwargs)
+
+
+def preprocess_images(batch, lcn_radius: int = 5):
+    """LCN-normalize IR and build the 2-channel net input (merged tl*bs).
+
+    Returns (net_in (tl*bs, H, W, 2), im_lcn (tl*bs, H, W),
+    im_std (tl*bs, H, W), amb (tl*bs, H, W))."""
+    tl, bs, H, W = batch.im.shape
+    im = batch.im.reshape(tl * bs, H, W)
+    im_lcn, im_std = lcn(im, lcn_radius, 0.05)
+    net_in = jnp.stack([im_lcn, im], axis=-1)
+    amb = batch.ambient.reshape(tl * bs, H, W)
+    return net_in, im_lcn, im_std, amb
+
+
+def _sgm_warmup_term(out, sgm_disp, rng, ctx: LossContext):
+    """Masked L1 to SGM disparities with sigma=1.5 noise
+    (reference single_frame_worker.py:157-163)."""
+    valid = (sgm_disp > ctx.sgm_valid_threshold).astype(out.dtype)
+    noise = ctx.sgm_noise_sigma * jax.random.normal(rng, out.shape, out.dtype)
+    err = jnp.abs(out - sgm_disp + noise) * valid
+    return jnp.sum(err) / jnp.maximum(jnp.sum(valid), 1.0)
+
+
+def sf_losses(outs, batch, ctx: LossContext, *, train: bool,
+              epoch: jax.Array, rng: jax.Array):
+    """DIS-SF / DIS-FTSF loss vector.
+
+    outs: tuple of 4 full-res disparity maps (tl*bs, H, W, 1), finest first.
+    Returns (total, components) with components ordered like the reference's
+    errs list for logging parity.
+    """
+    tl, bs, H, W = batch.im.shape
+    _, im_lcn, im_std, amb = preprocess_images(batch, ctx.lcn_radius)
+
+    comps = []
+    # photometric, all scales
+    for s, o in enumerate(outs):
+        val, _ = photometric_loss(o[..., 0], im_lcn, ctx.pattern_lcn,
+                                  std=im_std)
+        comps.append(val / (2 ** s))
+    # smoothness, scale 0
+    comps.append(ctx.smooth_weight_sf * smoothness_loss(outs[0][..., 0], amb))
+    # geometric, scale 0
+    ge_num = ctx.track_length * (ctx.track_length - 1) / 2
+    disp0 = outs[0][..., 0].reshape(tl, bs, H, W)
+    depth = disp_to_depth(disp0, ctx.focal_length, ctx.baseline)
+    ge = geometric_loss_sf(ctx.cam, depth, batch.R, batch.t, batch.flow,
+                           batch.ambient, clamp=ctx.geo_clamp)
+    comps.append(ctx.geo_weight / ge_num * ge)
+
+    if ctx.use_pseudo_gt:
+        pseudo = batch.pseudo_gt.reshape(tl * bs, H, W)
+        for s, o in enumerate(outs):
+            val = jnp.mean(jnp.abs(o[..., 0] - pseudo))
+            comps.append(ctx.pseudo_weight * val / (2 ** s))
+
+    if train and ctx.data_type == "real":
+        sgm = batch.sgm_disp.reshape(tl * bs, H, W)
+        gate = (epoch < ctx.warmup_epochs).astype(jnp.float32)
+        rngs = jax.random.split(rng, len(outs))
+        for s, o in enumerate(outs):
+            val = _sgm_warmup_term(o[..., 0], sgm, rngs[s], ctx)
+            comps.append(ctx.sgm_weight * gate * val)
+
+    comps = jnp.stack(comps)
+    return jnp.sum(comps), comps
+
+
+def mf_losses(out, batch, ctx: LossContext, *, train: bool,
+              epoch: jax.Array, rng: jax.Array):
+    """DIS-MF loss vector. out: (tl, bs, H, W, 1)."""
+    tl, bs, H, W = batch.im.shape
+    _, im_lcn, im_std, amb = preprocess_images(batch, ctx.lcn_radius)
+    o = out[..., 0].reshape(tl * bs, H, W)
+
+    comps = []
+    val, _ = photometric_loss(o, im_lcn, ctx.pattern_lcn, std=im_std)
+    comps.append(val)
+    comps.append(ctx.smooth_weight_mf * smoothness_loss(o, amb))
+
+    ge_num = ctx.track_length * (ctx.track_length - 1) / 2
+    depth = disp_to_depth(out[..., 0], ctx.focal_length, ctx.baseline)
+    primary_depth = disp_to_depth(batch.primary_disp, ctx.focal_length,
+                                  ctx.baseline)
+    ge = geometric_loss_mf(ctx.cam, depth, batch.R, batch.t, batch.flow,
+                           batch.ambient, primary_depth)
+    comps.append(ctx.geo_weight / ge_num * ge)
+
+    if train:
+        gate = (epoch < ctx.mf_primary_warmup_epochs).astype(jnp.float32)
+        val = jnp.mean(jnp.abs(out[..., 0] - batch.primary_disp))
+        comps.append(ctx.mf_primary_warmup_weight * gate * val)
+
+        if ctx.data_type == "real":
+            sgm = batch.sgm_disp.reshape(tl * bs, H, W)
+            gate_sgm = (epoch < ctx.warmup_epochs).astype(jnp.float32)
+            val = _sgm_warmup_term(o, sgm, rng, ctx)
+            comps.append(ctx.sgm_weight * gate_sgm * val)
+
+    comps = jnp.stack(comps)
+    return jnp.sum(comps), comps

@@ -1,0 +1,88 @@
+"""Jitted train/eval steps for both architectures.
+
+One XLA program per step: LCN preprocessing, forward, all losses, backward,
+and the optimizer update fuse together (the reference ran these as separate
+eager phases with explicit cuda.synchronize timing, model/worker.py:497-554).
+
+Data parallelism: the step is jitted with NamedShardings — batch sharded
+over the 'data' mesh axis, state replicated; XLA inserts the gradient
+all-reduce. Works identically on 1 device (no-op collective).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..data.dataset import Batch
+from .objective import LossContext, sf_losses, mf_losses, preprocess_images
+from .state import TrainState
+
+
+def _sf_forward(model, params, batch: Batch, ctx: LossContext):
+    net_in, *_ = preprocess_images(batch, ctx.lcn_radius)
+    return model.apply(params, net_in)          # tuple of 4 (tl*bs,H,W,1)
+
+
+def _mf_forward(model, params, batch: Batch, ctx: LossContext):
+    from ..ops import disp_to_depth
+    tl, bs, H, W = batch.im.shape
+    net_in, *_ = preprocess_images(batch, ctx.lcn_radius)
+    ir = net_in.reshape(tl, bs, H, W, 2)
+    amb = batch.ambient[..., None]
+    pdisp = batch.primary_disp[..., None]
+    pdepth = disp_to_depth(pdisp, ctx.focal_length, ctx.baseline)
+    return model.apply(params, ir, amb, pdisp, pdepth, batch.R, batch.t,
+                       batch.flow)              # (tl, bs, H, W, 1)
+
+
+def build_steps(model, ctx: LossContext, optimizer: optax.GradientTransformation,
+                architecture: str, mesh=None):
+    """Returns (train_step, eval_step), both jitted with DP shardings.
+
+    train_step(state, batch, epoch) -> (state, components)
+    eval_step(params, batch, epoch) -> (disp0 (tl,bs,H,W), components)
+    """
+    if architecture in ("single_frame", "sf"):
+        forward, losses = _sf_forward, sf_losses
+        take_disp0 = lambda outs, b: outs[0][..., 0].reshape(b.im.shape)
+    elif architecture in ("multi_frame", "mf"):
+        forward, losses = _mf_forward, mf_losses
+        take_disp0 = lambda outs, b: outs[..., 0]
+    else:
+        raise ValueError(architecture)
+
+    def train_step(state: TrainState, batch: Batch, epoch):
+        rng, step_rng = jax.random.split(state.rng)
+
+        def loss_fn(params):
+            outs = forward(model, params, batch, ctx)
+            total, comps = losses(outs, batch, ctx, train=True,
+                                  epoch=epoch, rng=step_rng)
+            return total, comps
+
+        (_, comps), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=params,
+                               opt_state=opt_state, rng=rng)
+        return new_state, comps
+
+    def eval_step(params, batch: Batch, epoch):
+        outs = forward(model, params, batch, ctx)
+        _, comps = losses(outs, batch, ctx, train=False, epoch=epoch,
+                          rng=jax.random.key(0))
+        return take_disp0(outs, batch), comps
+
+    # Sharding is carried by the *inputs*: `put_batch` commits the batch with
+    # its per-leaf NamedShardings and the state is replicated at creation;
+    # jit propagates them and inserts the gradient all-reduce over 'data'.
+    train_step = jax.jit(train_step, donate_argnums=(0,))
+    eval_step = jax.jit(eval_step)
+    return train_step, eval_step

@@ -1,0 +1,207 @@
+"""Streaming evaluation metrics (numpy, host side).
+
+Same metric suite and semantics as the reference (reference co/metric.py:
+40-154): functional mse/rmse/mae/outlier_fraction plus streaming
+DistanceMetric (L_p norm over Nx1 vectors -> mean/std/median/q10/q90/min/
+max) and OutlierFractionMetric (of{t} fractions).  Estimates are masked by
+gt>0 and flattened Nx1 by the workers (reference
+single_frame_worker.py:176,237-243).
+
+A device-side accumulator (`DeviceDistanceAccumulator`) is also provided:
+it keeps a histogram + moment sums on device so per-batch D2H transfers are
+avoided during training-time eval; quantiles are then histogram
+approximations. The host-side classes remain the exact-parity path used by
+`retest`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def mse(estimate, target, mask=None):
+    estimate, target, mask = _process(estimate, target, mask)
+    return np.sum((estimate[mask] - target[mask]) ** 2) / mask.sum()
+
+
+def rmse(estimate, target, mask=None):
+    return np.sqrt(mse(estimate, target, mask))
+
+
+def mae(estimate, target, mask=None):
+    estimate, target, mask = _process(estimate, target, mask)
+    return np.abs(estimate[mask] - target[mask]).sum() / mask.sum()
+
+
+def outlier_fraction(estimate, target, mask=None, threshold=0):
+    estimate, target, mask = _process(estimate, target, mask)
+    diff = np.abs(estimate[mask] - target[mask])
+    return (diff > threshold).sum() / mask.sum()
+
+
+def _process(estimate, target, mask):
+    if estimate.shape != target.shape:
+        raise ValueError("estimate and target must have the same shape")
+    if mask is None:
+        mask = np.ones(estimate.shape, dtype=bool)
+    else:
+        mask = mask != 0
+    if estimate.shape != mask.shape:
+        raise ValueError("mask must match estimate shape")
+    return estimate, target, mask
+
+
+class Metric:
+    def __init__(self, str_prefix=""):
+        self.str_prefix = str_prefix
+        self.reset()
+
+    def reset(self):
+        pass
+
+    def add(self, es, ta, ma=None):
+        pass
+
+    def get(self) -> dict:
+        return {}
+
+    def items(self):
+        return self.get().items()
+
+    def __str__(self):
+        return ", ".join(f"{self.str_prefix}{k}={v:.5f}"
+                         for k, v in self.get().items())
+
+
+class MultipleMetric(Metric):
+    def __init__(self, *metrics, **kwargs):
+        self.metrics = list(metrics)
+        super().__init__(**kwargs)
+
+    def reset(self):
+        for m in self.metrics:
+            m.reset()
+
+    def add(self, es, ta, ma=None):
+        for m in self.metrics:
+            m.add(es, ta, ma)
+
+    def get(self):
+        out = {}
+        for m in self.metrics:
+            out.update(m.get())
+        return out
+
+    def __str__(self):
+        return "\n".join(str(m) for m in self.metrics)
+
+
+class DistanceMetric(Metric):
+    """L_p distance over (N, vec_length) arrays with summary statistics."""
+
+    def __init__(self, vec_length=1, p=2, **kwargs):
+        self.vec_length = vec_length
+        self.p = p
+        super().__init__(**kwargs)
+
+    def reset(self):
+        self.dists = []
+
+    def add(self, es, ta, ma=None):
+        if es.shape != ta.shape or es.ndim != 2 or es.shape[1] != self.vec_length:
+            raise ValueError(f"expected Nx{self.vec_length}, got {es.shape}")
+        if ma is not None:
+            es = es[ma != 0]
+            ta = ta[ma != 0]
+        self.dists.append(np.linalg.norm(es - ta, ord=self.p, axis=1))
+
+    def get(self):
+        d = np.hstack(self.dists)
+        n = self.p
+        return {
+            f"dist{n}_mean": float(np.mean(d)),
+            f"dist{n}_std": float(np.std(d)),
+            f"dist{n}_median": float(np.median(d)),
+            f"dist{n}_q10": float(np.percentile(d, 10)),
+            f"dist{n}_q90": float(np.percentile(d, 90)),
+            f"dist{n}_min": float(np.min(d)),
+            f"dist{n}_max": float(np.max(d)),
+        }
+
+
+class OutlierFractionMetric(DistanceMetric):
+    """of{t} = fraction of distances above each threshold t."""
+
+    def __init__(self, thresholds, *args, **kwargs):
+        self.thresholds = list(thresholds)
+        super().__init__(*args, **kwargs)
+
+    def get(self):
+        d = np.hstack(self.dists)
+        return {f"of{t}": float((d > t).sum() / d.size)
+                for t in self.thresholds}
+
+
+class DeviceDistanceAccumulator:
+    """On-device streaming |err| statistics: moments + histogram.
+
+    Avoids per-batch device->host copies during the in-training eval loop;
+    quantiles come from the histogram (bin width = range/bins), exact
+    mean/min/max/outlier fractions from running sums.
+    """
+
+    def __init__(self, thresholds=(0.1, 0.5, 1, 2, 5), bins=8192,
+                 vmax=128.0):
+        self.thresholds = list(thresholds)
+        self.bins = bins
+        self.vmax = vmax
+        self.reset()
+
+    def reset(self):
+        import jax.numpy as jnp
+        self._sum = jnp.zeros(())
+        self._sumsq = jnp.zeros(())
+        self._count = jnp.zeros(())
+        self._min = jnp.full((), np.inf)
+        self._max = jnp.full((), -np.inf)
+        self._hist = jnp.zeros((self.bins,))
+        self._over = jnp.zeros((len(self.thresholds),))
+
+    def add(self, err):
+        """err: flat jnp array of |estimate - target| values."""
+        import jax.numpy as jnp
+        err = err.reshape(-1)
+        self._sum = self._sum + jnp.sum(err)
+        self._sumsq = self._sumsq + jnp.sum(err * err)
+        self._count = self._count + err.size
+        self._min = jnp.minimum(self._min, jnp.min(err))
+        self._max = jnp.maximum(self._max, jnp.max(err))
+        idx = jnp.clip((err / self.vmax * self.bins).astype(np.int32),
+                       0, self.bins - 1)
+        self._hist = self._hist.at[idx].add(1.0)
+        th = jnp.asarray(self.thresholds)
+        self._over = self._over + jnp.sum(err[None, :] > th[:, None], axis=1)
+
+    def get(self) -> dict:
+        hist = np.asarray(self._hist)
+        count = float(self._count)
+        cum = np.cumsum(hist)
+
+        def quantile(q):
+            i = np.searchsorted(cum, q * count)
+            return (i + 0.5) * self.vmax / self.bins
+
+        mean = float(self._sum) / count
+        var = float(self._sumsq) / count - mean ** 2
+        out = {
+            "dist2_mean": mean,
+            "dist2_std": float(np.sqrt(max(var, 0.0))),
+            "dist2_median": float(quantile(0.5)),
+            "dist2_q10": float(quantile(0.1)),
+            "dist2_q90": float(quantile(0.9)),
+            "dist2_min": float(self._min),
+            "dist2_max": float(self._max),
+        }
+        for t, o in zip(self.thresholds, np.asarray(self._over)):
+            out[f"of{t}"] = float(o) / count
+        return out

@@ -1,0 +1,80 @@
+"""bilinear_sample / warp / resize vs torch.nn.functional oracles."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+import torch
+import torch.nn.functional as F
+
+from depthinspace_tpu.ops import bilinear_sample, warp, resize_bilinear, resize_flow
+
+
+def torch_grid_sample(img_nhwc, x, y, padding):
+    """torch oracle: normalized grid, align_corners=True."""
+    N, H, W, C = img_nhwc.shape
+    img = torch.from_numpy(np.moveaxis(img_nhwc, -1, 1).copy())
+    gx = 2.0 * (x / (W - 1) - 0.5)
+    gy = 2.0 * (y / (H - 1) - 0.5)
+    grid = torch.from_numpy(np.stack([gx, gy], axis=-1))
+    out = F.grid_sample(img, grid, mode="bilinear", padding_mode=padding,
+                        align_corners=True)
+    return np.moveaxis(out.numpy(), 1, -1)
+
+
+@pytest.mark.parametrize("padding", ["border", "zeros"])
+def test_bilinear_sample_matches_torch(padding):
+    rng = np.random.RandomState(0)
+    N, H, W, C = 2, 13, 17, 3
+    img = rng.randn(N, H, W, C).astype(np.float32)
+    # coordinates straddling in/out of bounds, including exact integers
+    x = rng.uniform(-4, W + 3, size=(N, 9, 11)).astype(np.float32)
+    y = rng.uniform(-4, H + 3, size=(N, 9, 11)).astype(np.float32)
+    x[0, 0, 0] = 3.0
+    y[0, 0, 0] = 2.0
+
+    ours = np.asarray(bilinear_sample(jnp.asarray(img), jnp.asarray(x),
+                                      jnp.asarray(y), padding=padding))
+    ref = torch_grid_sample(img, x, y, padding)
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_warp_matches_reference_semantics():
+    """warp(x, flow) == grid_sample at identity+flow with zeros padding
+    (reference model/multi_frame_networks.py:83-99)."""
+    rng = np.random.RandomState(1)
+    N, H, W, C = 2, 12, 16, 4
+    x = rng.randn(N, H, W, C).astype(np.float32)
+    flow = rng.uniform(-3, 3, size=(N, H, W, 2)).astype(np.float32)
+
+    u, v = np.meshgrid(np.arange(W, dtype=np.float32),
+                       np.arange(H, dtype=np.float32))
+    gx = flow[..., 0] + u
+    gy = flow[..., 1] + v
+    ref = torch_grid_sample(x, gx, gy, "zeros")
+    ours = np.asarray(warp(jnp.asarray(x), jnp.asarray(flow)))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("align_corners", [True, False])
+def test_resize_bilinear_matches_torch(align_corners):
+    rng = np.random.RandomState(2)
+    N, H, W, C = 2, 14, 10, 3
+    x = rng.randn(N, H, W, C).astype(np.float32)
+    for h2, w2 in [(28, 20), (7, 5), (17, 9)]:
+        xt = torch.from_numpy(np.moveaxis(x, -1, 1).copy())
+        ref = F.interpolate(xt, size=(h2, w2), mode="bilinear",
+                            align_corners=align_corners)
+        ref = np.moveaxis(ref.numpy(), 1, -1)
+        ours = np.asarray(resize_bilinear(jnp.asarray(x), h2, w2,
+                                          align_corners=align_corners))
+        np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=2e-5)
+
+
+def test_resize_flow_scales_values():
+    rng = np.random.RandomState(3)
+    flow = rng.randn(2, 8, 6, 2).astype(np.float32)
+    out = np.asarray(resize_flow(jnp.asarray(flow), 16, 12))
+    assert out.shape == (2, 16, 12, 2)
+    # corners are exactly scaled original values (align_corners=True)
+    np.testing.assert_allclose(out[:, 0, 0, 0], flow[:, 0, 0, 0] * 2, rtol=1e-5)
+    np.testing.assert_allclose(out[:, 0, 0, 1], flow[:, 0, 0, 1] * 2, rtol=1e-5)

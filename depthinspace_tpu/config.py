@@ -1,0 +1,74 @@
+"""Run configuration.
+
+Two-part config mirroring the reference's contract (SURVEY.md §5):
+- machine paths from ``config.json`` (same keys: OUTPUT_DIR, DATA_DIR,
+  SHAPENET_DIR, ... — reference config.json:1-7), read once here instead of
+  ad hoc at import time in five files;
+- hyperparameters from the CLI (utils/args.py), collected into one typed
+  dataclass instead of scattered constructor defaults.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from pathlib import Path
+
+
+DEFAULT_CONFIG_PATH = os.environ.get(
+    "DIS_CONFIG", os.path.join(os.path.dirname(__file__), "..", "config.json"))
+
+
+def load_paths(config_path: str | None = None) -> dict:
+    path = os.path.abspath(config_path or DEFAULT_CONFIG_PATH)
+    with open(path) as fp:
+        return json.load(fp)
+
+
+@dataclass
+class RunConfig:
+    # paths
+    data_dir: Path
+    output_dir: Path
+    # run identity
+    architecture: str = "single_frame"      # single_frame | multi_frame
+    data_type: str = "synthetic"            # synthetic | real
+    # schedule
+    epochs: int = 100
+    warmup_epochs: int = 150
+    # model / preprocessing
+    lcn_radius: int = 5
+    max_disp: float = 128.0
+    track_length: int = 4
+    # batching
+    train_batch_size: int = 8
+    test_batch_size: int = 4
+    num_workers: int = 4
+    # options
+    use_pseudo_gt: bool = False
+    seed: int = 42
+    learning_rate: float = 1e-4
+    save_frequency: int = 1
+    max_train_iter: int = -1
+    write_debug_images: bool = True
+    # device
+    use_mesh: bool = True                   # data-parallel over all devices
+    extra: dict = field(default_factory=dict)
+
+    @classmethod
+    def from_args(cls, args, config_path: str | None = None) -> "RunConfig":
+        paths = load_paths(config_path)
+        return cls(
+            data_dir=Path(paths["DATA_DIR"]),
+            output_dir=Path(paths["OUTPUT_DIR"]),
+            architecture=args.architecture,
+            data_type=args.data_type,
+            epochs=args.epochs,
+            warmup_epochs=args.warmup_epochs,
+            lcn_radius=args.lcn_radius,
+            max_disp=float(args.max_disp),
+            track_length=args.track_length,
+            train_batch_size=args.train_batch_size,
+            use_pseudo_gt=args.use_pseudo_gt,
+        )

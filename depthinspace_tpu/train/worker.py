@@ -1,0 +1,394 @@
+"""Training runtime: experiment setup, epoch loops, checkpointing, metrics.
+
+Redesign of the reference worker layer (reference model/worker.py:130-653,
+model/single_frame_worker.py, model/multi_frame_worker.py) around jitted
+steps and async dispatch:
+
+- one jitted train step per architecture (forward + all losses + backward +
+  Adam fused); the host loop only feeds batches and logs;
+- steps are dispatched asynchronously; the loop blocks on device values only
+  at logging boundaries (the reference synchronized around every phase);
+- data parallelism over a device mesh is transparent (put_batch shards the
+  batch, gradients all-reduce inside the step);
+- same experiment contract: OUTPUT_DIR/<architecture>/ with train.log,
+  metrics.json, rolling full state, best-per-test-set state, per-epoch
+  net_%04d.params, and the same dataset splits
+  (synthetic: train=samples[1024:], test=[512:1024], valid=[:512];
+  real: every 8th offset 4 is test — reference model/worker.py:169-176).
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import logging
+import random
+import socket
+import time
+from pathlib import Path
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import RunConfig
+from ..data import TrackDataset, DataLoader, load_settings
+from ..models import DispNet, FuseNet
+from ..parallel import make_mesh, put_batch, replicated
+from ..utils import metric as metric_lib
+from ..utils.gtimer import StopWatch, ETA
+from ..utils.jaxcfg import enable_compilation_cache
+from .objective import make_loss_context
+from .steps import build_steps
+from .state import TrainState
+from .checkpoint import (StateCheckpointer, save_net_params, load_net_params,
+                         net_params_path)
+
+
+class TestSet:
+    def __init__(self, name, dset, test_frequency=1):
+        self.name = name
+        self.dset = dset
+        self.test_frequency = test_frequency
+
+
+class Worker:
+    """Base training runtime; architecture subclasses fill in the model and
+    dataset flags."""
+
+    architecture = "single_frame"
+
+    def __init__(self, cfg: RunConfig):
+        self.cfg = cfg
+        enable_compilation_cache()
+
+        self.settings = load_settings(Path(cfg.data_dir) / "settings.pkl")
+        self.imsize = self.settings.imsize
+
+        sample_paths = sorted(str(p) for p in Path(cfg.data_dir).glob("0*/"))
+        if cfg.data_type == "synthetic":
+            self.train_paths = sample_paths[2 ** 10:]
+            self.test_paths = sample_paths[2 ** 9:2 ** 10]
+            self.valid_paths = sample_paths[:2 ** 9]
+            if not self.train_paths:      # micro datasets (fixtures)
+                n = len(sample_paths)
+                cut = max(1, n // 4)
+                self.test_paths = sample_paths[:cut]
+                self.train_paths = sample_paths[cut:] or sample_paths
+                self.valid_paths = []
+        else:
+            self.test_paths = sample_paths[4::8]
+            self.train_paths = [p for p in sample_paths
+                                if p not in self.test_paths]
+            self.valid_paths = []
+
+        self.exp_dir = Path(cfg.output_dir) / cfg.architecture
+        self.exp_dir.mkdir(parents=True, exist_ok=True)
+        self._setup_logging()
+        self._load_metrics()
+        self._init_seed(cfg.seed)
+
+        n_dev = len(jax.devices())
+        self.mesh = make_mesh() if (cfg.use_mesh and n_dev > 1) else None
+        logging.info(f"devices: {jax.devices()}  mesh: {self.mesh}")
+
+        self.model = self.make_model()
+        self.ctx = make_loss_context(
+            self.settings, track_length=cfg.track_length,
+            data_type=cfg.data_type, warmup_epochs=cfg.warmup_epochs,
+            use_pseudo_gt=cfg.use_pseudo_gt, lcn_radius=cfg.lcn_radius)
+        self.optimizer = optax.adam(cfg.learning_rate)
+        self.train_step, self.eval_step = build_steps(
+            self.model, self.ctx, self.optimizer, self.architecture,
+            self.mesh)
+        self.ckpt = StateCheckpointer(self.exp_dir)
+        self.current_epoch = 0
+
+    # ------------------------------------------------------------- setup
+    def _setup_logging(self):
+        if logging.root:
+            del logging.root.handlers[:]
+        logging.basicConfig(
+            level=logging.INFO,
+            handlers=[logging.FileHandler(str(self.exp_dir / "train.log")),
+                      logging.StreamHandler()],
+            format="%(relativeCreated)d:%(levelname)s:%(process)d: %(message)s")
+        logging.info("=" * 80)
+        logging.info(f"Experiment: {self.cfg.architecture} on "
+                     f"{socket.gethostname()}")
+        logging.info(datetime.datetime.now().strftime("%Y-%m-%d %H:%M:%S"))
+        logging.info("=" * 80)
+
+    def _load_metrics(self):
+        self.metric_path = self.exp_dir / "metrics.json"
+        if self.metric_path.exists():
+            with open(self.metric_path) as fp:
+                self.metric_data = json.load(fp)
+        else:
+            self.metric_data = {}
+
+    def metric_add_train(self, epoch, key, val):
+        d = self.metric_data.setdefault(str(epoch), {}).setdefault("train", {})
+        d[str(key)] = val
+
+    def metric_add_test(self, epoch, set_idx, key, val):
+        d = (self.metric_data.setdefault(str(epoch), {})
+             .setdefault("test", {}).setdefault(str(set_idx), {}))
+        d[str(key)] = val
+
+    def metric_save(self):
+        with open(self.metric_path, "w") as fp:
+            json.dump(self.metric_data, fp, indent=2)
+
+    def _init_seed(self, seed):
+        logging.info(f"Set seed to {seed}")
+        np.random.seed(seed)
+        random.seed(seed)
+        self._jax_seed = seed
+
+    # ------------------------------------------------- architecture hooks
+    def make_model(self):
+        raise NotImplementedError
+
+    def make_train_set(self) -> TrackDataset:
+        raise NotImplementedError
+
+    def make_test_sets(self) -> list[TestSet]:
+        raise NotImplementedError
+
+    def init_params(self):
+        raise NotImplementedError
+
+    # ------------------------------------------------------------ driver
+    def do(self, cmd: str, epoch: int = -1):
+        if cmd == "retrain":
+            self.train(resume=False)
+        elif cmd == "resume":
+            self.train(resume=True)
+        elif cmd == "retest":
+            self.retest(epoch=epoch)
+        elif cmd == "test_init":
+            params = self.init_params()
+            self.test(-1, params, self.make_test_sets())
+        else:
+            raise ValueError(f"invalid cmd {cmd!r}")
+
+    def init_state(self) -> TrainState:
+        params = self.init_params()
+        state = TrainState.create(params, self.optimizer,
+                                  jax.random.key(self._jax_seed))
+        if self.mesh is not None:
+            state = jax.device_put(state, replicated(self.mesh))
+        return state
+
+    # ------------------------------------------------------------- train
+    def train(self, resume=True):
+        logging.info("=" * 80)
+        logging.info("Start training")
+
+        train_set = self.make_train_set()
+        test_sets = self.make_test_sets()
+
+        state = self.init_state()
+        epoch0 = 0
+        min_err = {ts.name: 1e9 for ts in test_sets}
+
+        if resume:
+            restored = self.ckpt.restore(state)
+            if restored is not None:
+                state, saved_epoch, saved_min = restored
+                epoch0 = saved_epoch + 1
+                min_err.update(saved_min)
+                logging.info(f"Resumed from epoch {saved_epoch}")
+
+        for epoch in range(epoch0, self.cfg.epochs):
+            self.current_epoch = epoch
+            state = self.train_epoch(epoch, state, train_set)
+            errs = self.test(epoch, state.params, test_sets)
+
+            if (epoch + 1) % self.cfg.save_frequency == 0:
+                self.ckpt.save(epoch, state, min_err)
+                for name, err_list in errs.items():
+                    err = sum(err_list)
+                    if err < min_err[name]:
+                        min_err[name] = err
+                        best = StateCheckpointer(self.exp_dir,
+                                                 name=f"state_set_{name}_best",
+                                                 max_to_keep=1)
+                        best.save(epoch, state, min_err)
+                        best.close()
+                        logging.info(f"new best for test set {name}: {err:.5f}")
+                path = save_net_params(self.exp_dir, epoch, state.params)
+                logging.info(f"saved network to {path}")
+
+        logging.info("Finished training")
+        return state
+
+    def train_epoch(self, epoch, state: TrainState, dset: TrackDataset):
+        sw = StopWatch()
+        logging.info("=" * 80)
+        logging.info(f"Train epoch {epoch}")
+        dset.current_epoch = epoch
+        loader = DataLoader(dset, self.cfg.train_batch_size, shuffle=True,
+                            num_workers=self.cfg.num_workers, drop_last=True)
+        n_batches = len(loader)
+        bar = ETA(length=n_batches)
+        epoch_arr = jnp.asarray(epoch, jnp.float32)
+
+        comps_acc = None
+        n_done = 0
+        sw.start("total")
+        sw.start("data")
+        for batch_idx, batch in enumerate(loader):
+            if 0 < self.cfg.max_train_iter <= batch_idx:
+                break
+            batch = put_batch(batch, self.mesh)
+            sw.stop("data")
+            sw.start("step")
+            state, comps = self.train_step(state, batch, epoch_arr)
+            comps_acc = comps if comps_acc is None else comps_acc + comps
+            n_done += 1
+            sw.stop("step")
+
+            bar.update(batch_idx)
+            if (epoch <= 1 and batch_idx < 128) or batch_idx % 16 == 0:
+                cvals = np.asarray(comps)    # blocks: logging boundary only
+                err_str = f"{cvals.sum():0.4f}=" + "+".join(
+                    f"{c:0.4f}" for c in cvals)
+                logging.info(
+                    f"train e{epoch}: {batch_idx + 1}/{n_batches}: "
+                    f"loss={err_str} | {bar.get_elapsed_time_str()} / "
+                    f"{bar.get_remaining_time_str()}")
+                self.callback_train_batch(epoch, batch_idx, state, batch)
+            sw.start("data")
+        sw.stop("total")
+        logging.info(f"timings: {sw}")
+
+        if comps_acc is None:
+            raise RuntimeError(
+                f"train epoch produced 0 batches: {len(dset)} samples with "
+                f"batch_size={self.cfg.train_batch_size} and drop_last — "
+                "reduce --train_batch_size or add data")
+        mean_loss = [float(c) / max(n_done, 1) for c in np.asarray(comps_acc)]
+        self.metric_add_train(epoch, "loss", mean_loss)
+        self.metric_save()
+        logging.info(f"avg train_loss={sum(mean_loss):0.4f}")
+        return state
+
+    def callback_train_batch(self, epoch, batch_idx, state, batch):
+        """Debug-image hook; every 256 batches like the reference."""
+        if self.cfg.write_debug_images and batch_idx % 256 == 0:
+            try:
+                disp0, _ = self.eval_step(state.params, batch,
+                                          jnp.asarray(epoch, jnp.float32))
+                self.write_debug_image(
+                    self.exp_dir / f"train_{epoch:03d}_{batch_idx:04d}.png",
+                    np.asarray(disp0), batch)
+            except Exception as e:      # debug images must never kill a run
+                logging.warning(f"debug image failed: {e}")
+
+    # -------------------------------------------------------------- test
+    def test(self, epoch, params, test_sets):
+        errs = {}
+        for set_idx, ts in enumerate(test_sets):
+            if (epoch + 1) % ts.test_frequency == 0:
+                logging.info("=" * 80)
+                logging.info(f"testing set {ts.name}")
+                errs[ts.name] = self.test_epoch(epoch, set_idx, params,
+                                                ts.dset)
+        return errs
+
+    def test_epoch(self, epoch, set_idx, params, dset):
+        dset.current_epoch = epoch
+        loader = DataLoader(dset, self.cfg.test_batch_size, shuffle=False,
+                            num_workers=self.cfg.num_workers, drop_last=False)
+        bar = ETA(length=len(loader))
+        epoch_arr = jnp.asarray(epoch, jnp.float32)
+
+        met = metric_lib.MultipleMetric(
+            metric_lib.DistanceMetric(vec_length=1),
+            metric_lib.OutlierFractionMetric(vec_length=1,
+                                             thresholds=[0.1, 0.5, 1, 2, 5]))
+        mean_loss = None
+        n = 0
+        for batch_idx, host_batch in enumerate(loader):
+            batch = put_batch(host_batch, self.mesh)
+            disp0, comps = self.eval_step(params, batch, epoch_arr)
+
+            es = np.asarray(disp0)
+            gt = host_batch.disp_gt.astype(np.float32)
+            es = es * (gt > 0)
+            met.add(es.reshape(-1, 1), gt.reshape(-1, 1))
+
+            cvals = np.asarray(comps)
+            mean_loss = cvals if mean_loss is None else mean_loss + cvals
+            n += 1
+            bar.update(batch_idx)
+            if batch_idx % 25 == 0:
+                logging.info(
+                    f"test e{epoch}: {batch_idx + 1}/{len(loader)}: "
+                    f"loss={cvals.sum():0.4f} | {bar.get_elapsed_time_str()}"
+                    f" / {bar.get_remaining_time_str()}")
+            if self.cfg.write_debug_images and batch_idx % 8 == 0:
+                try:
+                    self.write_debug_image(
+                        self.exp_dir / f"test_{epoch:03d}_{batch_idx:04d}.png",
+                        es, host_batch)
+                except Exception as e:
+                    logging.warning(f"debug image failed: {e}")
+
+        mean_loss = [float(c) / max(n, 1) for c in mean_loss]
+        logging.info(f"{met}")
+        for k, v in met.items():
+            self.metric_add_test(epoch, set_idx, k, v)
+        self.metric_add_test(epoch, set_idx, "loss", mean_loss)
+        self.metric_save()
+        logging.info(f"test epoch {epoch}: avg test_loss={sum(mean_loss):0.4f}")
+        return mean_loss
+
+    def retest(self, epoch=-1):
+        test_sets = self.make_test_sets()
+        epochs = range(self.cfg.epochs) if epoch < 0 else [epoch]
+        template = self.init_params()
+        for ep in epochs:
+            path = net_params_path(self.exp_dir, ep)
+            if path.exists():
+                params = load_net_params(path, template)
+                if self.mesh is not None:
+                    params = jax.device_put(params, replicated(self.mesh))
+                self.test(ep, params, test_sets)
+
+    # ------------------------------------------------------- debug images
+    def write_debug_image(self, out_path, es, host_batch):
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        from ..utils import cmap
+
+        gt = host_batch.disp_gt.astype(np.float32)
+        im = host_batch.im
+        amb = host_batch.ambient
+        es0, gt0 = es[0, 0], gt[0, 0]
+        diff = np.abs(es0 - gt0)
+        vmax = max(float(np.nanmax(gt0)) * 1.2, 16.0)
+
+        fig, axes = plt.subplots(2, 3, figsize=(12, 8))
+        panels = [
+            (im[0, 0], "IR input", "gray", {}),
+            (amb[0, 0], "Ambient", "gray", {}),
+            (cmap.color_depth_map(gt0, scale=vmax)[..., ::-1], "Disp GT", None, {}),
+            (cmap.color_depth_map(es0, scale=vmax)[..., ::-1],
+             f"Disp est {es0.min():.2f}/{es0.max():.2f}", None, {}),
+            (cmap.color_error_image(diff, BGR=False),
+             f"err {diff.mean():.4f}", None, {}),
+            (diff, "abs err", "viridis", {}),
+        ]
+        for ax, (img, title, cm, kw) in zip(axes.flat, panels):
+            ax.imshow(img, cmap=cm, **kw)
+            ax.set_title(title)
+            ax.axis("off")
+        fig.tight_layout()
+        fig.savefig(str(out_path))
+        plt.close(fig)
+        logging.info(f"wrote debug image {out_path}")

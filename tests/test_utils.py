@@ -1,0 +1,119 @@
+"""Host-side utils: geometry3d, io3d, metrics, colormaps."""
+import numpy as np
+import pytest
+
+from depthinspace_tpu.utils import geometry3d as g3
+from depthinspace_tpu.utils import io3d, cmap
+from depthinspace_tpu.utils import metric as M
+
+
+def test_quat_rotm_roundtrip():
+    rng = np.random.RandomState(0)
+    for _ in range(20):
+        q = g3.quat_random(rng)
+        R = g3.rotm_from_quat(q)
+        assert np.allclose(R @ R.T, np.eye(3), atol=1e-10)
+        assert np.isclose(np.linalg.det(R), 1.0)
+        q2 = g3.quat_from_rotm(R)
+        # q and -q are the same rotation
+        assert np.allclose(q, q2, atol=1e-8) or np.allclose(q, -q2, atol=1e-8)
+
+
+def test_so3_log_exp_roundtrip():
+    rng = np.random.RandomState(1)
+    w = rng.randn(3) * 0.7
+    R = g3.so3_exp(w)
+    assert np.allclose(g3.so3_log(R), w, atol=1e-8)
+
+
+def test_rotation_distances():
+    R = g3.rotm_from_axisangle([0, 0, 1], 0.3)
+    d = g3.rotm_distance_geodesic(R[None], np.eye(3)[None])
+    assert np.isclose(d[0], 0.3, atol=1e-8)
+    d0 = g3.rotm_distance_identity(R[None], R[None])
+    assert np.isclose(d0[0], 0.0, atol=1e-8)
+
+
+def test_quat_slerp_endpoints():
+    q0 = g3.quat_random(np.random.RandomState(2))
+    q1 = g3.quat_random(np.random.RandomState(3))
+    assert np.allclose(g3.quat_slerp(q0, q1, 0.0), g3.quat_normalize(q0),
+                       atol=1e-8)
+
+
+def test_mesh_helpers():
+    v, f, n = g3.xyplane(z=2.0)
+    assert v.shape == (4, 3) and f.shape == (2, 3)
+    areas = g3.mesh_triangle_areas(v, f)
+    assert np.isclose(areas.sum(), 4.0)  # 2x2 quad
+    verts, faces = g3.stack_mesh([v, v + 5], [f, f])
+    assert verts.shape == (8, 3)
+    assert faces[2:].min() == 4
+
+
+def test_ply_roundtrip(tmp_path):
+    rng = np.random.RandomState(0)
+    verts = rng.randn(10, 3).astype(np.float32)
+    faces = np.array([[0, 1, 2], [3, 4, 5]], np.int32)
+    colors = rng.randint(0, 255, (10, 3)).astype(np.uint8)
+    for binary in (True, False):
+        p = tmp_path / f"m_{binary}.ply"
+        io3d.write_ply(p, verts, faces, colors, binary=binary)
+        v2, f2, c2 = io3d.read_ply(p)
+        np.testing.assert_allclose(v2, verts, rtol=1e-6)
+        np.testing.assert_array_equal(f2, faces)
+        np.testing.assert_array_equal(c2, colors)
+
+
+def test_obj_reading(tmp_path):
+    p = tmp_path / "tri.obj"
+    p.write_text("v 0 0 0\nv 1 0 0\nv 0 1 0\nv 1 1 0\nf 1 2 3\nf 2/1 4/2 3/3\n")
+    v, f, _, n = io3d.read_obj(p)
+    assert v.shape == (4, 3)
+    assert f.shape == (2, 3)
+    assert np.allclose(np.linalg.norm(n, axis=1), 1.0)
+
+
+def test_distance_metric_stats():
+    m = M.DistanceMetric(vec_length=1)
+    m.add(np.array([[1.0], [2.0]]), np.array([[0.0], [0.0]]))
+    m.add(np.array([[3.0]]), np.array([[0.0]]))
+    s = m.get()
+    assert np.isclose(s["dist2_mean"], 2.0)
+    assert np.isclose(s["dist2_median"], 2.0)
+    assert np.isclose(s["dist2_max"], 3.0)
+
+
+def test_outlier_fraction_metric():
+    m = M.OutlierFractionMetric(thresholds=[0.5, 2.5], vec_length=1)
+    m.add(np.array([[1.0], [2.0], [3.0]]), np.zeros((3, 1)))
+    s = m.get()
+    assert np.isclose(s["of0.5"], 1.0)
+    assert np.isclose(s["of2.5"], 1 / 3)
+
+
+def test_binary_accuracy_metric():
+    m = M.BinaryAccuracyMetric()
+    rng = np.random.RandomState(0)
+    ta = rng.randint(0, 2, 1000).astype(float)
+    es = np.clip(ta * 0.8 + rng.rand(1000) * 0.3, 0, 1)  # informative scores
+    m.add(es, ta)
+    s = m.get()
+    assert s["auc"] > 0.9
+
+
+def test_functional_metrics():
+    es = np.array([1.0, 2.0, 3.0])
+    ta = np.array([1.0, 1.0, 1.0])
+    assert np.isclose(M.mae(es, ta), 1.0)
+    assert np.isclose(M.rmse(es, ta), np.sqrt(5 / 3))
+    assert np.isclose(M.outlier_fraction(es, ta, threshold=1.5), 1 / 3)
+
+
+def test_cmaps():
+    err = np.abs(np.random.RandomState(0).randn(8, 9))
+    out = cmap.color_error_image(err)
+    assert out.shape == (8, 9, 3)
+    depth = np.random.RandomState(1).rand(8, 9) * 10
+    out = cmap.color_depth_map(depth)
+    assert out.shape == (8, 9, 3) and out.dtype == np.uint8

@@ -64,25 +64,6 @@ def _flow_coords(cam: CameraGeometry, flow: jax.Array):
     return x, y
 
 
-def _fb_vc_masks(cam, flow0, flow1, amb0, amb1, fx, fy):
-    """Forward-backward + visibility-consistency masks (no grad)."""
-    flow10 = bilinear_sample(flow1, fx, fy, padding="zeros")
-    fb = (jnp.sum((flow0 + flow10) ** 2, axis=-1)
-          < 0.5 + 0.02 * (jnp.sum(flow0 ** 2, axis=-1)
-                          + jnp.sum(flow10 ** 2, axis=-1)))
-    amb10 = bilinear_sample(amb1[..., None], fx, fy, padding="zeros")[..., 0]
-    vc = jnp.abs(amb0 - amb10) < 0.01
-    return fb.astype(jnp.float32), vc.astype(jnp.float32)
-
-
-def _projected_depth_diff(cam, depth0, depth1, R0, t0, R1, t1, fx, fy):
-    N = depth0.shape[0]
-    _, d1 = reproject(depth0, cam.ray, cam.K, R0, t0, R1, t1)
-    d1 = d1.reshape(N, cam.height, cam.width)
-    depth10 = bilinear_sample(depth1[..., None], fx, fy, padding="zeros")[..., 0]
-    return jnp.abs(d1 - depth10)
-
-
 def flow_consistency_sf(cam: CameraGeometry,
                         depth0, depth1, R0, t0, R1, t1,
                         flow0, flow1, amb0, amb1,
@@ -90,18 +71,39 @@ def flow_consistency_sf(cam: CameraGeometry,
     """Symmetrized single-frame flow-consistency loss for one view pair.
 
     depth/amb: (N, H, W); flow: (N, H, W, 2); R: (N,3,3); t: (N,3).
+
+    TPU note: all per-pixel samples of view-1 quantities (depth, backward
+    flow, ambient) happen at the same flow-displaced coordinates, so they
+    are packed channel-wise into ONE bilinear gather instead of three —
+    2D gathers are the dominant cost of this loss on TPU.
     """
     def one_way(d0, d1_, Ra, ta, Rb, tb, f0, f1, a0, a1):
+        N = d0.shape[0]
         fx, fy = _flow_coords(cam, f0)
-        diff = _projected_depth_diff(cam, d0, d1_, Ra, ta, Rb, tb, fx, fy)
+        _, d1 = reproject(d0, cam.ray, cam.K, Ra, ta, Rb, tb)
+        d1 = d1.reshape(N, cam.height, cam.width)
+
+        stack = jnp.concatenate([
+            d1_[..., None],
+            jax.lax.stop_gradient(f1),
+            jax.lax.stop_gradient(a1)[..., None],
+        ], axis=-1)                                     # (N, H, W, 4)
+        sampled = bilinear_sample(stack, fx, fy, padding="zeros")
+        depth10 = sampled[..., 0]
+        flow10 = jax.lax.stop_gradient(sampled[..., 1:3])
+        amb10 = jax.lax.stop_gradient(sampled[..., 3])
+
+        diff = jnp.abs(d1 - depth10)
         if clamp > 0:
             diff = jnp.clip(diff, 0.0, clamp)
-        f0_s, f1_s = jax.lax.stop_gradient(f0), jax.lax.stop_gradient(f1)
-        fxs, fys = jax.lax.stop_gradient(fx), jax.lax.stop_gradient(fy)
-        fb, vc = _fb_vc_masks(cam, f0_s, f1_s,
-                              jax.lax.stop_gradient(a0),
-                              jax.lax.stop_gradient(a1), fxs, fys)
-        mask = jax.lax.stop_gradient(fb * vc)
+
+        f0_s = jax.lax.stop_gradient(f0)
+        fb = (jnp.sum((f0_s + flow10) ** 2, axis=-1)
+              < 0.5 + 0.02 * (jnp.sum(f0_s ** 2, axis=-1)
+                              + jnp.sum(flow10 ** 2, axis=-1)))
+        vc = jnp.abs(jax.lax.stop_gradient(a0) - amb10) < 0.01
+        mask = jax.lax.stop_gradient(
+            fb.astype(jnp.float32) * vc.astype(jnp.float32))
         return jnp.sum(diff * mask) / (jnp.sum(mask) + 1e-8)
 
     l0 = one_way(depth0, depth1, R0, t0, R1, t1, flow0, flow1, amb0, amb1)
@@ -114,27 +116,43 @@ def flow_consistency_mf(cam: CameraGeometry,
                         flow0, flow1, amb0, amb1,
                         primary_depth0, primary_depth1) -> jax.Array:
     """Symmetrized multi-frame flow-consistency loss for one view pair,
-    with the extra primary-depth round-trip mask (rf_mask)."""
-    N = depth0.shape[0]
-
+    with the extra primary-depth round-trip mask (rf_mask). Samples are
+    channel-packed into one gather like the single-frame variant."""
     def one_way(d0, d1_, Ra, ta, Rb, tb, f0, f1, a0, a1, pd1):
+        N = d0.shape[0]
         fx, fy = _flow_coords(cam, f0)
-        diff = _projected_depth_diff(cam, d0, d1_, Ra, ta, Rb, tb, fx, fy)
-        f0_s, f1_s = jax.lax.stop_gradient(f0), jax.lax.stop_gradient(f1)
-        fxs, fys = jax.lax.stop_gradient(fx), jax.lax.stop_gradient(fy)
-        fb, vc = _fb_vc_masks(cam, f0_s, f1_s,
-                              jax.lax.stop_gradient(a0),
-                              jax.lax.stop_gradient(a1), fxs, fys)
-        # rf_mask: project view-1's primary depth back into view 0; the
-        # flow-warped uv0 field must round-trip to the identity grid.
+        _, d1 = reproject(d0, cam.ray, cam.K, Ra, ta, Rb, tb)
+        d1 = d1.reshape(N, cam.height, cam.width)
+
+        # rf_mask source field: project view-1's primary depth into view 0
         uv0, _ = reproject(jax.lax.stop_gradient(pd1), cam.ray, cam.K,
                            jax.lax.stop_gradient(Rb), jax.lax.stop_gradient(tb),
                            jax.lax.stop_gradient(Ra), jax.lax.stop_gradient(ta))
         uv0 = uv0.reshape(N, cam.height, cam.width, 2)
-        warped_uv0 = bilinear_sample(uv0, fxs, fys, padding="zeros")
-        rf = (jnp.sum((warped_uv0 - cam.grid[None]) ** 2, axis=-1)
-              < 1.0).astype(jnp.float32)
-        mask = jax.lax.stop_gradient(fb * vc * rf)
+
+        stack = jnp.concatenate([
+            d1_[..., None],
+            jax.lax.stop_gradient(f1),
+            jax.lax.stop_gradient(a1)[..., None],
+            uv0,
+        ], axis=-1)                                     # (N, H, W, 6)
+        sampled = bilinear_sample(stack, fx, fy, padding="zeros")
+        depth10 = sampled[..., 0]
+        flow10 = jax.lax.stop_gradient(sampled[..., 1:3])
+        amb10 = jax.lax.stop_gradient(sampled[..., 3])
+        warped_uv0 = jax.lax.stop_gradient(sampled[..., 4:6])
+
+        diff = jnp.abs(d1 - depth10)
+
+        f0_s = jax.lax.stop_gradient(f0)
+        fb = (jnp.sum((f0_s + flow10) ** 2, axis=-1)
+              < 0.5 + 0.02 * (jnp.sum(f0_s ** 2, axis=-1)
+                              + jnp.sum(flow10 ** 2, axis=-1)))
+        vc = jnp.abs(jax.lax.stop_gradient(a0) - amb10) < 0.01
+        rf = jnp.sum((warped_uv0 - cam.grid[None]) ** 2, axis=-1) < 1.0
+        mask = jax.lax.stop_gradient(
+            fb.astype(jnp.float32) * vc.astype(jnp.float32)
+            * rf.astype(jnp.float32))
         return jnp.sum(diff * mask) / (jnp.sum(mask) + 1e-8)
 
     l0 = one_way(depth0, depth1, R0, t0, R1, t1, flow0, flow1, amb0, amb1,

@@ -120,37 +120,50 @@ def warp(x: jax.Array, flow: jax.Array, padding: str = "zeros") -> jax.Array:
     return bilinear_sample(x, gx, gy, padding=padding)
 
 
+def _interp_matrix(n_in: int, n_out: int, align_corners: bool) -> jnp.ndarray:
+    """Dense (n_out, n_in) bilinear interpolation matrix (2 taps per row)."""
+    import numpy as np
+    if align_corners and n_out > 1:
+        src = np.linspace(0, n_in - 1, n_out)
+    else:
+        src = (np.arange(n_out) + 0.5) * (n_in / n_out) - 0.5
+    src = np.clip(src, 0, n_in - 1)
+    i0 = np.floor(src).astype(int)
+    i1 = np.minimum(i0 + 1, n_in - 1)
+    f = (src - i0).astype(np.float32)
+    M = np.zeros((n_out, n_in), np.float32)
+    np.add.at(M, (np.arange(n_out), i0), 1 - f)
+    np.add.at(M, (np.arange(n_out), i1), f)
+    return jnp.asarray(M)
+
+
 @partial(jax.jit, static_argnames=("height", "width", "align_corners"))
 def resize_bilinear(x: jax.Array, height: int, width: int,
                     align_corners: bool = True) -> jax.Array:
-    """Bilinear resize of an NHWC tensor.
+    """Bilinear resize of an NHWC tensor, as two per-axis matmuls.
+
+    TPU note: a gather-based formulation measured 1331 ms for a 2x upsample
+    of (32, 512, 432, 1) on v5e; the separable matmul formulation below runs
+    the same resize in 4.4 ms on the MXU (and its autodiff is matmuls too).
 
     align_corners=True matches ``torch.nn.functional.interpolate(...,
     mode='bilinear', align_corners=True)`` (used by the reference's
     ``resize_like``, reference model/multi_frame_networks.py:42-51);
     align_corners=False matches the torch default used by the DispNetS
-    pyramid upsampling (reference model/networks.py:273,291-293), which is
-    jax.image 'linear' / half-pixel-centers semantics.
+    pyramid upsampling (reference model/networks.py:273,291-293):
+    half-pixel centers, no anti-aliasing.
     """
     N, H, W, C = x.shape
     if H == height and W == width:
         return x
-    if not align_corners:
-        # Half-pixel centers, no anti-aliasing (torch bilinear semantics;
-        # jax.image.resize would low-pass on downsample).
-        ys = (jnp.arange(height, dtype=jnp.float32) + 0.5) * (H / height) - 0.5
-        xs = (jnp.arange(width, dtype=jnp.float32) + 0.5) * (W / width) - 0.5
-        gx, gy = jnp.meshgrid(xs, ys)
-        gx = jnp.broadcast_to(gx[None], (N, height, width))
-        gy = jnp.broadcast_to(gy[None], (N, height, width))
-        return bilinear_sample(x, gx, gy, padding="border")
-    # align_corners=True: sample positions are linspace(0, size-1, new_size).
-    ys = jnp.linspace(0.0, H - 1.0, height, dtype=jnp.float32)
-    xs = jnp.linspace(0.0, W - 1.0, width, dtype=jnp.float32)
-    gx, gy = jnp.meshgrid(xs, ys)          # (height, width)
-    gx = jnp.broadcast_to(gx[None], (N, height, width))
-    gy = jnp.broadcast_to(gy[None], (N, height, width))
-    return bilinear_sample(x, gx, gy, padding="border")
+    Mh = _interp_matrix(H, height, align_corners)
+    Mw = _interp_matrix(W, width, align_corners)
+    y = jnp.einsum("Hh,nhwc->nHwc", Mh, x,
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("Ww,nHwc->nHWc", Mw, y,
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 @partial(jax.jit, static_argnames=("height", "width"))

@@ -105,7 +105,8 @@ def main(argv=None):
     with open(model_path, "rb") as f:
         params = serialization.from_bytes(template, f.read())
 
-    sample_dirs = sorted(p for p in data_root.iterdir() if p.is_dir())
+    sample_dirs = sorted(p for p in data_root.iterdir()
+                         if p.is_dir() and (p / "frames.hdf5").exists())
     for i, sample in enumerate(sample_dirs):
         with h5py.File(sample / "frames.hdf5", "r") as f:
             im = np.asarray(f["im"][:, 0], np.float32)          # (4, H, W)

@@ -96,7 +96,8 @@ def main(argv=None):
     data_root = Path(args.data_dir or paths["DATA_DIR"])
     settings = load_settings(data_root / "settings.pkl")
 
-    sample_dirs = sorted(p for p in data_root.iterdir() if p.is_dir())
+    sample_dirs = sorted(p for p in data_root.iterdir()
+                         if p.is_dir() and (p / "frames.hdf5").exists())
     for i, sample in enumerate(sample_dirs):
         process_sample(sample, args.provider, settings.K,
                        settings.baseline, settings.focal_length)

@@ -68,13 +68,13 @@ def main():
     # warmup (compile)
     for _ in range(3):
         state, comps = train_step(state, batch, epoch)
-    jax.block_until_ready(comps)
+    jax.block_until_ready((state, comps))
 
-    n_steps = 10
+    n_steps = 20
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state, comps = train_step(state, batch, epoch)
-    jax.block_until_ready(comps)
+    jax.block_until_ready((state, comps))
     dt = time.perf_counter() - t0
 
     steps_per_sec = n_steps / dt

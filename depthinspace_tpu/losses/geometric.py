@@ -34,16 +34,29 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.sampling import bilinear_sample
+from ..ops.resample import flow_warp
 from ..ops.geometry import pixel_rays, reproject
 
 
 class CameraGeometry(NamedTuple):
-    """Static per-scale camera model: intrinsics + per-pixel rays + grid."""
+    """Per-scale camera model: intrinsics + per-pixel rays + pixel grid.
+
+    Array-leaf-only pytree so it can be passed as a jit *argument* — on this
+    TPU stack, gathers whose operands are closed-over constants fall into a
+    pathologically slow XLA lowering (~2000x), so every array constant is
+    threaded through the jitted step as an argument (see train/steps.py).
+    Image dims come from grid.shape (static under jit)."""
     K: jax.Array          # (3, 3)
     ray: jax.Array        # (H*W, 3)
     grid: jax.Array       # (H, W, 2) pixel coordinates (u, v)
-    height: int
-    width: int
+
+    @property
+    def height(self) -> int:
+        return self.grid.shape[0]
+
+    @property
+    def width(self) -> int:
+        return self.grid.shape[1]
 
     @staticmethod
     def create(K: np.ndarray, height: int, width: int) -> "CameraGeometry":
@@ -53,8 +66,7 @@ class CameraGeometry(NamedTuple):
                            np.arange(height, dtype=np.float32))
         grid = np.stack([u, v], axis=-1)
         return CameraGeometry(jnp.asarray(K.astype(np.float32)),
-                              jnp.asarray(ray), jnp.asarray(grid),
-                              height, width)
+                              jnp.asarray(ray), jnp.asarray(grid))
 
 
 def _flow_coords(cam: CameraGeometry, flow: jax.Array):
@@ -67,7 +79,8 @@ def _flow_coords(cam: CameraGeometry, flow: jax.Array):
 def flow_consistency_sf(cam: CameraGeometry,
                         depth0, depth1, R0, t0, R1, t1,
                         flow0, flow1, amb0, amb1,
-                        clamp: float = 0.1) -> jax.Array:
+                        clamp: float = 0.1,
+                        max_shift: int = 16) -> jax.Array:
     """Symmetrized single-frame flow-consistency loss for one view pair.
 
     depth/amb: (N, H, W); flow: (N, H, W, 2); R: (N,3,3); t: (N,3).
@@ -79,7 +92,6 @@ def flow_consistency_sf(cam: CameraGeometry,
     """
     def one_way(d0, d1_, Ra, ta, Rb, tb, f0, f1, a0, a1):
         N = d0.shape[0]
-        fx, fy = _flow_coords(cam, f0)
         _, d1 = reproject(d0, cam.ray, cam.K, Ra, ta, Rb, tb)
         d1 = d1.reshape(N, cam.height, cam.width)
 
@@ -88,7 +100,7 @@ def flow_consistency_sf(cam: CameraGeometry,
             jax.lax.stop_gradient(f1),
             jax.lax.stop_gradient(a1)[..., None],
         ], axis=-1)                                     # (N, H, W, 4)
-        sampled = bilinear_sample(stack, fx, fy, padding="zeros")
+        sampled = flow_warp(stack, f0, max_shift=max_shift)
         depth10 = sampled[..., 0]
         flow10 = jax.lax.stop_gradient(sampled[..., 1:3])
         amb10 = jax.lax.stop_gradient(sampled[..., 3])
@@ -114,13 +126,13 @@ def flow_consistency_sf(cam: CameraGeometry,
 def flow_consistency_mf(cam: CameraGeometry,
                         depth0, depth1, R0, t0, R1, t1,
                         flow0, flow1, amb0, amb1,
-                        primary_depth0, primary_depth1) -> jax.Array:
+                        primary_depth0, primary_depth1,
+                        max_shift: int = 16) -> jax.Array:
     """Symmetrized multi-frame flow-consistency loss for one view pair,
     with the extra primary-depth round-trip mask (rf_mask). Samples are
     channel-packed into one gather like the single-frame variant."""
     def one_way(d0, d1_, Ra, ta, Rb, tb, f0, f1, a0, a1, pd1):
         N = d0.shape[0]
-        fx, fy = _flow_coords(cam, f0)
         _, d1 = reproject(d0, cam.ray, cam.K, Ra, ta, Rb, tb)
         d1 = d1.reshape(N, cam.height, cam.width)
 
@@ -136,7 +148,7 @@ def flow_consistency_mf(cam: CameraGeometry,
             jax.lax.stop_gradient(a1)[..., None],
             uv0,
         ], axis=-1)                                     # (N, H, W, 6)
-        sampled = bilinear_sample(stack, fx, fy, padding="zeros")
+        sampled = flow_warp(stack, f0, max_shift=max_shift)
         depth10 = sampled[..., 0]
         flow10 = jax.lax.stop_gradient(sampled[..., 1:3])
         amb10 = jax.lax.stop_gradient(sampled[..., 3])
@@ -174,35 +186,34 @@ def pairwise_indices(track_length: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def geometric_loss_sf(cam: CameraGeometry, depth, R, t, flow, amb,
-                      clamp: float = 0.1) -> jax.Array:
-    """Sum of the SF pair losses over all C(tl,2) pairs, vmapped.
+                      clamp: float = 0.1, max_shift: int = 16) -> jax.Array:
+    """Sum of the SF pair losses over all C(tl,2) pairs.
 
     depth/amb: (tl, N, H, W); R: (tl, N, 3, 3); t: (tl, N, 3);
     flow: (tl, tl, N, H, W, 2) with flow[i, j] = flow from frame i to j.
     Returns the *sum* over pairs (caller applies 0.2/ge_num weighting,
     reference single_frame_worker.py:149).
+
+    The pair loop is a static Python unroll: measured 2x faster than vmap
+    over pair-index arrays on v5e (the vmapped form batches the 2D gathers
+    into an even slower lowering).
     """
-    ii, jj = pairwise_indices(depth.shape[0])
-
-    def pair(i, j):
-        return flow_consistency_sf(
+    total = 0.0
+    for i, j in zip(*pairwise_indices(depth.shape[0])):
+        total += flow_consistency_sf(
             cam, depth[i], depth[j], R[i], t[i], R[j], t[j],
-            flow[i, j], flow[j, i], amb[i], amb[j], clamp=clamp)
-
-    vals = jax.vmap(pair)(jnp.asarray(ii), jnp.asarray(jj))
-    return jnp.sum(vals)
+            flow[i, j], flow[j, i], amb[i], amb[j], clamp=clamp,
+            max_shift=max_shift)
+    return total
 
 
 def geometric_loss_mf(cam: CameraGeometry, depth, R, t, flow, amb,
-                      primary_depth) -> jax.Array:
-    """Sum of the MF pair losses over all C(tl,2) pairs, vmapped."""
-    ii, jj = pairwise_indices(depth.shape[0])
-
-    def pair(i, j):
-        return flow_consistency_mf(
+                      primary_depth, max_shift: int = 16) -> jax.Array:
+    """Sum of the MF pair losses over all C(tl,2) pairs (static unroll)."""
+    total = 0.0
+    for i, j in zip(*pairwise_indices(depth.shape[0])):
+        total += flow_consistency_mf(
             cam, depth[i], depth[j], R[i], t[i], R[j], t[j],
             flow[i, j], flow[j, i], amb[i], amb[j],
-            primary_depth[i], primary_depth[j])
-
-    vals = jax.vmap(pair)(jnp.asarray(ii), jnp.asarray(jj))
-    return jnp.sum(vals)
+            primary_depth[i], primary_depth[j], max_shift=max_shift)
+    return total

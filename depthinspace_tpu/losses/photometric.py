@@ -79,16 +79,15 @@ def _xwarp_bwd(res, g):
 _xwarp_border.defvjp(_xwarp_fwd, _xwarp_bwd)
 
 
-def warp_pattern_by_disparity(pattern: jax.Array, disp: jax.Array) -> jax.Array:
+def warp_pattern_by_disparity(pattern: jax.Array, disp: jax.Array,
+                              max_disp: int = 128) -> jax.Array:
     """Sample the (rectified) pattern at u' = u - disp.
 
     pattern: (H, W) or (N, H, W) — treated as a constant (no gradient);
-    disp: (N, H, W). Returns (N, H, W).
-    """
-    N, H, W = disp.shape
-    if pattern.ndim == 2:
-        pattern = jnp.broadcast_to(pattern[None], (N, H, W))
-    return _xwarp_border(jax.lax.stop_gradient(pattern), disp)
+    disp: (N, H, W). Returns (N, H, W). Dispatches to the Pallas warp
+    kernel on TPU (ops/resample.py)."""
+    from ..ops.resample import warp_pattern
+    return warp_pattern(pattern, disp, max_disp)
 
 
 def _census_auto(es, ta, block_size, eps):

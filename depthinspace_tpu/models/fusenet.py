@@ -34,7 +34,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..ops.sampling import warp, resize_bilinear, resize_flow
+from ..ops.sampling import resize_bilinear, resize_flow
+from ..ops.resample import flow_warp as warp
 from .dispnet import SigmoidAffineHead
 
 

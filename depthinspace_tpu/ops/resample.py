@@ -1,0 +1,47 @@
+"""Backend dispatch for image resampling: Pallas kernels on TPU, gather
+formulations elsewhere.
+
+Mirrors the reference's cuda/cpu op split (reference
+model/ext_functions.py:41-127): one public API, two execution paths with
+identical math. On TPU the gather/scatter lowerings are pathologically slow
+inside large graphs (see ops/pallas/warp_kernel.py), so everything routes
+to the static-slice-enumeration kernels there.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def warp_pattern(pattern: jax.Array, disp: jax.Array,
+                 max_disp: int = 128) -> jax.Array:
+    """Rectified pattern warp: sample pattern at u' = u - disp (border
+    clamp). pattern (N,H,W) or (H,W); disp (N,H,W) in [0, max_disp].
+    Gradient flows to disp only (the pattern is a constant)."""
+    N, H, W = disp.shape
+    if pattern.ndim == 2:
+        pattern = jnp.broadcast_to(pattern[None], (N, H, W))
+    pattern = jax.lax.stop_gradient(pattern)
+    if _on_tpu() and H % 8 == 0:
+        from .pallas.warp_kernel import xwarp_disparity
+        return xwarp_disparity(pattern, disp, int(max_disp))
+    from ..losses.photometric import _xwarp_border
+    return _xwarp_border(pattern, disp)
+
+
+def flow_warp(x: jax.Array, flow: jax.Array, max_shift: int = 16) -> jax.Array:
+    """Flow warp with zeros padding: out(p) = x(p + flow(p)).
+
+    x (N,H,W,C); flow (N,H,W,2) — always input data in this pipeline, so
+    no flow gradient is produced (see ops/pallas/warp_kernel.warp2d)."""
+    flow = jax.lax.stop_gradient(flow)
+    if _on_tpu() and x.shape[1] % 8 == 0:
+        from .pallas.warp_kernel import warp2d
+        return warp2d(x, flow, int(max_shift))
+    from .sampling import warp
+    return warp(x, flow, padding="zeros")

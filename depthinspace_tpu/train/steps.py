@@ -56,12 +56,21 @@ def build_steps(model, ctx: LossContext, optimizer: optax.GradientTransformation
     else:
         raise ValueError(architecture)
 
-    def train_step(state: TrainState, batch: Batch, epoch):
+    # CRITICAL TPU detail: array constants (projector pattern, camera rays/
+    # grid) must be *arguments* of the jitted step, not closed-over
+    # constants — gathers on closure constants fall into XLA's slow flat
+    # dynamic-gather lowering (~2000x, measured in scripts/bench_loss.py).
+    consts = (ctx.cam, ctx.pattern_lcn)
+    static_ctx = ctx._replace(cam=None, pattern_lcn=None)
+
+    def train_step(state: TrainState, batch: Batch, epoch, consts):
+        cam, pattern_lcn = consts
+        ctx_full = static_ctx._replace(cam=cam, pattern_lcn=pattern_lcn)
         rng, step_rng = jax.random.split(state.rng)
 
         def loss_fn(params):
-            outs = forward(model, params, batch, ctx)
-            total, comps = losses(outs, batch, ctx, train=True,
+            outs = forward(model, params, batch, ctx_full)
+            total, comps = losses(outs, batch, ctx_full, train=True,
                                   epoch=epoch, rng=step_rng)
             return total, comps
 
@@ -74,15 +83,27 @@ def build_steps(model, ctx: LossContext, optimizer: optax.GradientTransformation
                                opt_state=opt_state, rng=rng)
         return new_state, comps
 
-    def eval_step(params, batch: Batch, epoch):
-        outs = forward(model, params, batch, ctx)
-        _, comps = losses(outs, batch, ctx, train=False, epoch=epoch,
+    def eval_step(params, batch: Batch, epoch, consts):
+        cam, pattern_lcn = consts
+        ctx_full = static_ctx._replace(cam=cam, pattern_lcn=pattern_lcn)
+        outs = forward(model, params, batch, ctx_full)
+        _, comps = losses(outs, batch, ctx_full, train=False, epoch=epoch,
                           rng=jax.random.key(0))
         return take_disp0(outs, batch), comps
 
     # Sharding is carried by the *inputs*: `put_batch` commits the batch with
     # its per-leaf NamedShardings and the state is replicated at creation;
     # jit propagates them and inserts the gradient all-reduce over 'data'.
-    train_step = jax.jit(train_step, donate_argnums=(0,))
-    eval_step = jax.jit(eval_step)
-    return train_step, eval_step
+    if mesh is not None:
+        from ..parallel.mesh import replicated
+        consts = jax.device_put(consts, replicated(mesh))
+    train_jit = jax.jit(train_step, donate_argnums=(0,))
+    eval_jit = jax.jit(eval_step)
+
+    def train_step_pub(state, batch, epoch):
+        return train_jit(state, batch, epoch, consts)
+
+    def eval_step_pub(params, batch, epoch):
+        return eval_jit(params, batch, epoch, consts)
+
+    return train_step_pub, eval_step_pub

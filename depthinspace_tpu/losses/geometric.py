@@ -95,15 +95,16 @@ def flow_consistency_sf(cam: CameraGeometry,
         _, d1 = reproject(d0, cam.ray, cam.K, Ra, ta, Rb, tb)
         d1 = d1.reshape(N, cam.height, cam.width)
 
-        stack = jnp.concatenate([
-            d1_[..., None],
-            jax.lax.stop_gradient(f1),
-            jax.lax.stop_gradient(a1)[..., None],
-        ], axis=-1)                                     # (N, H, W, 4)
-        sampled = flow_warp(stack, f0, max_shift=max_shift)
-        depth10 = sampled[..., 0]
-        flow10 = jax.lax.stop_gradient(sampled[..., 1:3])
-        amb10 = jax.lax.stop_gradient(sampled[..., 3])
+        # gradient-carrying sample (depth only) and no-grad samples are
+        # separate kernel calls so the adjoint enumeration runs for one
+        # channel instead of four
+        depth10 = flow_warp(d1_[..., None], f0, max_shift=max_shift)[..., 0]
+        stack = jax.lax.stop_gradient(jnp.concatenate([
+            f1, a1[..., None]], axis=-1))               # (N, H, W, 3)
+        sampled = jax.lax.stop_gradient(
+            flow_warp(stack, f0, max_shift=max_shift))
+        flow10 = sampled[..., 0:2]
+        amb10 = sampled[..., 2]
 
         diff = jnp.abs(d1 - depth10)
         if clamp > 0:
@@ -142,17 +143,14 @@ def flow_consistency_mf(cam: CameraGeometry,
                            jax.lax.stop_gradient(Ra), jax.lax.stop_gradient(ta))
         uv0 = uv0.reshape(N, cam.height, cam.width, 2)
 
-        stack = jnp.concatenate([
-            d1_[..., None],
-            jax.lax.stop_gradient(f1),
-            jax.lax.stop_gradient(a1)[..., None],
-            uv0,
-        ], axis=-1)                                     # (N, H, W, 6)
-        sampled = flow_warp(stack, f0, max_shift=max_shift)
-        depth10 = sampled[..., 0]
-        flow10 = jax.lax.stop_gradient(sampled[..., 1:3])
-        amb10 = jax.lax.stop_gradient(sampled[..., 3])
-        warped_uv0 = jax.lax.stop_gradient(sampled[..., 4:6])
+        depth10 = flow_warp(d1_[..., None], f0, max_shift=max_shift)[..., 0]
+        stack = jax.lax.stop_gradient(jnp.concatenate([
+            f1, a1[..., None], uv0], axis=-1))          # (N, H, W, 5)
+        sampled = jax.lax.stop_gradient(
+            flow_warp(stack, f0, max_shift=max_shift))
+        flow10 = sampled[..., 0:2]
+        amb10 = sampled[..., 2]
+        warped_uv0 = sampled[..., 3:5]
 
         diff = jnp.abs(d1 - depth10)
 
@@ -185,6 +183,16 @@ def pairwise_indices(track_length: int) -> tuple[np.ndarray, np.ndarray]:
     return np.asarray(ii, np.int32), np.asarray(jj, np.int32)
 
 
+def _ordered_directions(track_length: int):
+    """All 2*C(tl,2) ordered (a, b) view directions (a -> b), both ways per
+    unordered pair, in the reference's summation order."""
+    dirs = []
+    for i, j in zip(*pairwise_indices(track_length)):
+        dirs.append((int(i), int(j)))
+        dirs.append((int(j), int(i)))
+    return dirs
+
+
 def geometric_loss_sf(cam: CameraGeometry, depth, R, t, flow, amb,
                       clamp: float = 0.1, max_shift: int = 16) -> jax.Array:
     """Sum of the SF pair losses over all C(tl,2) pairs.
@@ -194,26 +202,116 @@ def geometric_loss_sf(cam: CameraGeometry, depth, R, t, flow, amb,
     Returns the *sum* over pairs (caller applies 0.2/ge_num weighting,
     reference single_frame_worker.py:149).
 
-    The pair loop is a static Python unroll: measured 2x faster than vmap
-    over pair-index arrays on v5e (the vmapped form batches the 2D gathers
-    into an even slower lowering).
+    TPU batching: all 2*C(tl,2) ordered directions are stacked and sent
+    through ONE Pallas warp per gradient class (grad-carrying depth sample,
+    no-grad mask samples) — the warp kernels dominate this loss and batching
+    amortizes their band-grid pipeline across directions.
     """
-    total = 0.0
-    for i, j in zip(*pairwise_indices(depth.shape[0])):
-        total += flow_consistency_sf(
-            cam, depth[i], depth[j], R[i], t[i], R[j], t[j],
-            flow[i, j], flow[j, i], amb[i], amb[j], clamp=clamp,
-            max_shift=max_shift)
-    return total
+    dirs = _ordered_directions(depth.shape[0])
+    nd = len(dirs)
+    N = depth.shape[1]
+    Hh, Ww = cam.height, cam.width
+
+    def gather_dir(x, idx):
+        return jnp.concatenate([x[i] for i in idx], axis=0)
+
+    a_idx = [a for a, b in dirs]
+    b_idx = [b for a, b in dirs]
+    d0 = gather_dir(depth, a_idx)                 # (nd*N, H, W)
+    d1_ = gather_dir(depth, b_idx)
+    Ra = gather_dir(R, a_idx)
+    ta = gather_dir(t, a_idx)
+    Rb = gather_dir(R, b_idx)
+    tb = gather_dir(t, b_idx)
+    f0 = jnp.concatenate([flow[a, b] for a, b in dirs], axis=0)
+    f1 = jnp.concatenate([flow[b, a] for a, b in dirs], axis=0)
+    a0 = gather_dir(amb, a_idx)
+    a1 = gather_dir(amb, b_idx)
+
+    _, d1 = reproject(d0, cam.ray, cam.K, Ra, ta, Rb, tb)
+    d1 = d1.reshape(nd * N, Hh, Ww)
+
+    depth10 = flow_warp(d1_[..., None], f0, max_shift=max_shift)[..., 0]
+    stack = jax.lax.stop_gradient(
+        jnp.concatenate([f1, a1[..., None]], axis=-1))
+    sampled = jax.lax.stop_gradient(flow_warp(stack, f0,
+                                              max_shift=max_shift))
+    flow10 = sampled[..., 0:2]
+    amb10 = sampled[..., 2]
+
+    diff = jnp.abs(d1 - depth10)
+    if clamp > 0:
+        diff = jnp.clip(diff, 0.0, clamp)
+
+    f0_s = jax.lax.stop_gradient(f0)
+    fb = (jnp.sum((f0_s + flow10) ** 2, axis=-1)
+          < 0.5 + 0.02 * (jnp.sum(f0_s ** 2, axis=-1)
+                          + jnp.sum(flow10 ** 2, axis=-1)))
+    vc = jnp.abs(jax.lax.stop_gradient(a0) - amb10) < 0.01
+    mask = jax.lax.stop_gradient(
+        fb.astype(jnp.float32) * vc.astype(jnp.float32))
+
+    # per-direction masked means (the reference normalizes per direction)
+    diff = (diff * mask).reshape(nd, -1).sum(axis=1)
+    msum = mask.reshape(nd, -1).sum(axis=1)
+    return jnp.sum(diff / (msum + 1e-8))
 
 
 def geometric_loss_mf(cam: CameraGeometry, depth, R, t, flow, amb,
                       primary_depth, max_shift: int = 16) -> jax.Array:
-    """Sum of the MF pair losses over all C(tl,2) pairs (static unroll)."""
-    total = 0.0
-    for i, j in zip(*pairwise_indices(depth.shape[0])):
-        total += flow_consistency_mf(
-            cam, depth[i], depth[j], R[i], t[i], R[j], t[j],
-            flow[i, j], flow[j, i], amb[i], amb[j],
-            primary_depth[i], primary_depth[j], max_shift=max_shift)
-    return total
+    """Sum of the MF pair losses over all C(tl,2) pairs, direction-batched
+    like geometric_loss_sf, with the extra primary-depth rf_mask."""
+    dirs = _ordered_directions(depth.shape[0])
+    nd = len(dirs)
+    N = depth.shape[1]
+    Hh, Ww = cam.height, cam.width
+
+    def gather_dir(x, idx):
+        return jnp.concatenate([x[i] for i in idx], axis=0)
+
+    a_idx = [a for a, b in dirs]
+    b_idx = [b for a, b in dirs]
+    d0 = gather_dir(depth, a_idx)
+    d1_ = gather_dir(depth, b_idx)
+    Ra = gather_dir(R, a_idx)
+    ta = gather_dir(t, a_idx)
+    Rb = gather_dir(R, b_idx)
+    tb = gather_dir(t, b_idx)
+    f0 = jnp.concatenate([flow[a, b] for a, b in dirs], axis=0)
+    f1 = jnp.concatenate([flow[b, a] for a, b in dirs], axis=0)
+    a0 = gather_dir(amb, a_idx)
+    a1 = gather_dir(amb, b_idx)
+    pd1 = jax.lax.stop_gradient(gather_dir(primary_depth, b_idx))
+
+    _, d1 = reproject(d0, cam.ray, cam.K, Ra, ta, Rb, tb)
+    d1 = d1.reshape(nd * N, Hh, Ww)
+
+    uv0, _ = reproject(pd1, cam.ray, cam.K,
+                       jax.lax.stop_gradient(Rb), jax.lax.stop_gradient(tb),
+                       jax.lax.stop_gradient(Ra), jax.lax.stop_gradient(ta))
+    uv0 = uv0.reshape(nd * N, Hh, Ww, 2)
+
+    depth10 = flow_warp(d1_[..., None], f0, max_shift=max_shift)[..., 0]
+    stack = jax.lax.stop_gradient(
+        jnp.concatenate([f1, a1[..., None], uv0], axis=-1))
+    sampled = jax.lax.stop_gradient(flow_warp(stack, f0,
+                                              max_shift=max_shift))
+    flow10 = sampled[..., 0:2]
+    amb10 = sampled[..., 2]
+    warped_uv0 = sampled[..., 3:5]
+
+    diff = jnp.abs(d1 - depth10)
+
+    f0_s = jax.lax.stop_gradient(f0)
+    fb = (jnp.sum((f0_s + flow10) ** 2, axis=-1)
+          < 0.5 + 0.02 * (jnp.sum(f0_s ** 2, axis=-1)
+                          + jnp.sum(flow10 ** 2, axis=-1)))
+    vc = jnp.abs(jax.lax.stop_gradient(a0) - amb10) < 0.01
+    rf = jnp.sum((warped_uv0 - cam.grid[None]) ** 2, axis=-1) < 1.0
+    mask = jax.lax.stop_gradient(
+        fb.astype(jnp.float32) * vc.astype(jnp.float32)
+        * rf.astype(jnp.float32))
+
+    diff = (diff * mask).reshape(nd, -1).sum(axis=1)
+    msum = mask.reshape(nd, -1).sum(axis=1)
+    return jnp.sum(diff / (msum + 1e-8))

@@ -55,6 +55,7 @@ class LossContext(NamedTuple):
     sgm_noise_sigma: float = 1.5
     sgm_valid_threshold: float = 30.0
     geo_clamp: float = 0.1
+    geo_max_shift: int = 16
 
 
 def make_loss_context(settings, track_length=4, **kwargs) -> LossContext:
@@ -114,7 +115,8 @@ def sf_losses(outs, batch, ctx: LossContext, *, train: bool,
     disp0 = outs[0][..., 0].reshape(tl, bs, H, W)
     depth = disp_to_depth(disp0, ctx.focal_length, ctx.baseline)
     ge = geometric_loss_sf(ctx.cam, depth, batch.R, batch.t, batch.flow,
-                           batch.ambient, clamp=ctx.geo_clamp)
+                           batch.ambient, clamp=ctx.geo_clamp,
+                           max_shift=ctx.geo_max_shift)
     comps.append(ctx.geo_weight / ge_num * ge)
 
     if ctx.use_pseudo_gt:
@@ -152,7 +154,8 @@ def mf_losses(out, batch, ctx: LossContext, *, train: bool,
     primary_depth = disp_to_depth(batch.primary_disp, ctx.focal_length,
                                   ctx.baseline)
     ge = geometric_loss_mf(ctx.cam, depth, batch.R, batch.t, batch.flow,
-                           batch.ambient, primary_depth)
+                           batch.ambient, primary_depth,
+                           max_shift=ctx.geo_max_shift)
     comps.append(ctx.geo_weight / ge_num * ge)
 
     if train:

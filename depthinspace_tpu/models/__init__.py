@@ -1,2 +1,4 @@
 from .dispnet import DispNet, SigmoidAffineHead
 from .fusenet import FuseNet, Block2D3D, PointConv, ResNetBlock
+from .heads import (MultiLinear, SigmoidAffine, DispRowHead, PosOutput,
+                    make_output_head, pos_to_depth)

@@ -131,11 +131,17 @@ class PointConv(nn.Module):
         dist_masked = m * dist + (1.0 - m) * (jnp.max(dist) + 1.0)
         _, idx = jax.lax.top_k(-dist_masked, self.neighbors)    # 9 smallest
 
-        def take(v):
-            return jnp.take_along_axis(v, idx[..., None], axis=-2)
-
-        xyz_nb = take(xyz_local)                  # (N, h', w', 9, 3)
-        feat_nb = take(feat_p)                    # (N, h', w', 9, C)
+        # neighbor gather as a one-hot contraction over the 36 candidates:
+        # per-pixel take_along_axis gathers lower to the pathologically slow
+        # flat dynamic-gather fusion on this TPU stack, while the (9,36)x
+        # (36,C) einsum is dense VPU/MXU work with einsum gradients
+        onehot = jax.nn.one_hot(idx, k2 * tl, dtype=xyz_p.dtype)
+        xyz_nb = jnp.einsum("nhwks,nhwsc->nhwkc", onehot, xyz_local,
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+        feat_nb = jnp.einsum("nhwks,nhwsc->nhwkc", onehot, feat_p,
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
 
         wgt = nn.selu(nn.Dense(self.features // 2)(xyz_nb))
         wgt = nn.selu(nn.Dense(self.features)(wgt))             # (N,h',w',9,F)

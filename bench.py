@@ -65,16 +65,18 @@ def main():
     batch = jax.device_put(batch)
     epoch = jnp.asarray(0.0)
 
-    # warmup (compile)
+    # warmup (compile) — NOTE: on this backend jax.block_until_ready can
+    # return before device execution finishes; a device->host transfer
+    # (np.asarray) is the reliable synchronization point.
     for _ in range(3):
         state, comps = train_step(state, batch, epoch)
-    jax.block_until_ready((state, comps))
+    np.asarray(comps)
 
-    n_steps = 20
+    n_steps = 30
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state, comps = train_step(state, batch, epoch)
-    jax.block_until_ready((state, comps))
+    np.asarray(comps)       # hard sync
     dt = time.perf_counter() - t0
 
     steps_per_sec = n_steps / dt

@@ -40,12 +40,13 @@ def _mf_forward(model, params, batch: Batch, ctx: LossContext):
                        batch.flow)              # (tl, bs, H, W, 1)
 
 
-def build_steps(model, ctx: LossContext, optimizer: optax.GradientTransformation,
-                architecture: str, mesh=None):
-    """Returns (train_step, eval_step), both jitted with DP shardings.
+def _make_step_fns(model, ctx: LossContext,
+                   optimizer: optax.GradientTransformation,
+                   architecture: str):
+    """Raw (unjitted) train/eval step functions plus the threaded constants.
 
-    train_step(state, batch, epoch) -> (state, components)
-    eval_step(params, batch, epoch) -> (disp0 (tl,bs,H,W), components)
+    Shared by ``build_steps`` (jit + closure) and ``build_steps_aot``
+    (explicit AOT lowering for off-hardware compile checks).
     """
     if architecture in ("single_frame", "sf"):
         forward, losses = _sf_forward, sf_losses
@@ -91,6 +92,19 @@ def build_steps(model, ctx: LossContext, optimizer: optax.GradientTransformation
                           rng=jax.random.key(0))
         return take_disp0(outs, batch), comps
 
+    return train_step, eval_step, consts
+
+
+def build_steps(model, ctx: LossContext, optimizer: optax.GradientTransformation,
+                architecture: str, mesh=None):
+    """Returns (train_step, eval_step), both jitted with DP shardings.
+
+    train_step(state, batch, epoch) -> (state, components)
+    eval_step(params, batch, epoch) -> (disp0 (tl,bs,H,W), components)
+    """
+    train_step, eval_step, consts = _make_step_fns(model, ctx, optimizer,
+                                                   architecture)
+
     # Sharding is carried by the *inputs*: `put_batch` commits the batch with
     # its per-leaf NamedShardings and the state is replicated at creation;
     # jit propagates them and inserts the gradient all-reduce over 'data'.
@@ -107,3 +121,36 @@ def build_steps(model, ctx: LossContext, optimizer: optax.GradientTransformation
         return eval_jit(params, batch, epoch, consts)
 
     return train_step_pub, eval_step_pub
+
+
+def build_steps_aot(model, ctx: LossContext,
+                    optimizer: optax.GradientTransformation,
+                    architecture: str, mesh, state, batch: Batch):
+    """AOT-lower the sharded train step at the given abstract shapes.
+
+    ``state``/``batch`` may be concrete arrays or ShapeDtypeStruct pytrees —
+    only shapes/dtypes are used.  Returns the jax ``Lowered`` object so
+    callers can ``.compile()`` off-hardware (e.g. the production-shape
+    512x432 compile check in __graft_entry__.py) and inspect
+    ``memory_analysis()`` without executing anything.
+    """
+    from ..parallel.mesh import batch_shardings, replicated
+
+    train_step, _, consts = _make_step_fns(model, ctx, optimizer,
+                                           architecture)
+    repl = replicated(mesh)
+    b_shardings = batch_shardings(mesh, batch)
+
+    def abstract(x, sharding):
+        if x is None:
+            return None
+        return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding)
+
+    state_abs = jax.tree.map(lambda x: abstract(x, repl), state)
+    batch_abs = Batch(**{
+        k: abstract(getattr(batch, k), getattr(b_shardings, k))
+        for k in Batch._fields})
+    consts_abs = jax.tree.map(lambda x: abstract(x, repl), consts)
+    epoch_abs = jax.ShapeDtypeStruct((), jnp.float32, sharding=repl)
+    return jax.jit(train_step, donate_argnums=(0,)).lower(
+        state_abs, batch_abs, epoch_abs, consts_abs)

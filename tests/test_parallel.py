@@ -1,0 +1,127 @@
+"""Multi-device data-parallel tests on the 8-virtual-CPU-device mesh.
+
+Verifies the SURVEY §2.3 parallelism design directly: sharded train steps
+are numerically equivalent to single-device steps (same params, same batch),
+and `put_batch` commits every leaf with the intended NamedSharding.
+The 8 virtual devices come from tests/conftest.py.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from depthinspace_tpu.data.dataset import Batch
+from depthinspace_tpu.data.settings import Settings
+from depthinspace_tpu.data.fixture import make_dot_pattern
+from depthinspace_tpu.models import DispNet, FuseNet
+from depthinspace_tpu.parallel import (make_mesh, put_batch, replicated,
+                                       batch_shardings, DATA_AXIS)
+from depthinspace_tpu.train import TrainState, make_loss_context, build_steps
+
+
+H, W = 32, 24
+TL, BS = 4, 8
+
+
+def _settings():
+    K = np.array([[20.0, 0, W / 2], [0, 20.0, H / 2], [0, 0, 1]], np.float32)
+    return Settings(imsize=(H, W), pattern=make_dot_pattern(H, W),
+                    baseline=0.025, K=K)
+
+
+def _batch(with_primary=False):
+    rng = np.random.RandomState(0)
+    return Batch(
+        im=rng.rand(TL, BS, H, W).astype(np.float32),
+        ambient=rng.rand(TL, BS, H, W).astype(np.float32),
+        disp_gt=rng.uniform(1, 20, (TL, BS, H, W)).astype(np.float32),
+        R=np.broadcast_to(np.eye(3, dtype=np.float32), (TL, BS, 3, 3)).copy(),
+        t=rng.uniform(-0.05, 0.05, (TL, BS, 3)).astype(np.float32),
+        flow=rng.uniform(-1, 1, (TL, TL, BS, H, W, 2)).astype(np.float32),
+        primary_disp=(rng.uniform(5, 15, (TL, BS, H, W)).astype(np.float32)
+                      if with_primary else None),
+    )
+
+
+def test_put_batch_leaf_shardings():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    batch = put_batch(_batch(with_primary=True), mesh)
+    want = batch_shardings(mesh, batch)
+    for k in Batch._fields:
+        leaf = getattr(batch, k)
+        if leaf is None:
+            continue
+        assert leaf.sharding == getattr(want, k), k
+        # the batch axis must actually be split 8 ways
+        n_shards = len({d for d in leaf.sharding.device_set})
+        assert n_shards == 8, k
+        shard_shape = leaf.sharding.shard_shape(leaf.shape)
+        batch_axis = 2 if k == "flow" else 1
+        assert shard_shape[batch_axis] == leaf.shape[batch_axis] // 8, k
+
+
+def _run_steps(model, ctx, arch, batch, mesh, n_steps=1):
+    # One step, not more: after the params diverge by float-reassociation
+    # epsilon, FuseNet's PointConv top_k selections can flip discretely and
+    # step 2's gradients are no longer comparable (measured: 1e-6 after one
+    # step, 2e-5 and growing after two).
+    # SGD, not Adam: the equivalence under test is of the *gradients* (psum
+    # over shards vs single-device sum). Adam's 1/sqrt(v) normalization
+    # amplifies float-reassociation noise on near-zero-gradient params into
+    # O(lr) update differences; SGD keeps the comparison linear in the grads.
+    opt = optax.sgd(1e-2)
+    if arch == "single_frame":
+        init_x = (jnp.zeros((1, H, W, 2)),)
+    else:
+        init_x = (jnp.zeros((TL, 1, H, W, 2)), jnp.zeros((TL, 1, H, W, 1)),
+                  jnp.zeros((TL, 1, H, W, 1)), jnp.ones((TL, 1, H, W, 1)),
+                  jnp.broadcast_to(jnp.eye(3), (TL, 1, 3, 3)),
+                  jnp.zeros((TL, 1, 3)), jnp.zeros((TL, TL, 1, H, W, 2)))
+    params = model.init(jax.random.key(0), *init_x)
+    state = TrainState.create(params, opt, jax.random.key(1))
+    if mesh is not None:
+        state = jax.device_put(state, replicated(mesh))
+        batch = put_batch(batch, mesh)
+    else:
+        batch = jax.device_put(batch)
+    train_step, _ = build_steps(model, ctx, opt, arch, mesh)
+    comps = None
+    for _ in range(n_steps):
+        state, comps = train_step(state, batch, jnp.asarray(0.0))
+    return (jax.tree.map(np.asarray, jax.device_get(state.params)),
+            np.asarray(comps))
+
+
+@pytest.mark.parametrize("arch", ["single_frame", "multi_frame"])
+def test_sharded_step_matches_single_device(arch):
+    """One optimizer step on the 8-device mesh == one step on one device.
+
+    The only numerical difference allowed is float reassociation from the
+    per-device partial reductions + psum, hence the loose-but-tight rtol.
+    """
+    settings = _settings()
+    ctx = make_loss_context(settings, track_length=TL)
+    if arch == "single_frame":
+        model = DispNet(max_disp=128.0)
+        batch = _batch()
+    else:
+        K = tuple(map(tuple, settings.K.tolist()))
+        model = FuseNet(imsize=(H, W), K=K, track_length=TL,
+                        block_num=2, channels=16, max_disp=128.0)
+        batch = _batch(with_primary=True)
+
+    mesh = make_mesh()
+    p_multi, c_multi = _run_steps(model, ctx, arch, batch, mesh)
+    p_single, c_single = _run_steps(model, ctx, arch, batch, None)
+
+    np.testing.assert_allclose(c_multi, c_single, rtol=2e-4, atol=1e-6)
+    flat_m, _ = jax.tree.flatten(p_multi)
+    flat_s, _ = jax.tree.flatten(p_single)
+    assert len(flat_m) == len(flat_s)
+    for a, b in zip(flat_m, flat_s):
+        # atol floor: bias gradients are near-cancelling sums over batch and
+        # space, so an 8-way split reassociation shifts them by O(1e-6) abs.
+        np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-6)

@@ -179,8 +179,15 @@ def _np_lcn(x, radius, eps):
 def generate_dataset(out_dir, n_samples: int = 4, imsize=(64, 56),
                      track_length: int = 4, seed: int = 42,
                      focal: float = 40.0, baseline: float = 0.025,
-                     blend: float = 0.6, write_flow: bool = True):
-    """Write settings.pkl + per-sample frames.hdf5 (+ flow.hdf5)."""
+                     blend: float = 0.6, write_flow: bool = True,
+                     write_sgm: bool = False):
+    """Write settings.pkl + per-sample frames.hdf5 (+ flow.hdf5).
+
+    ``write_sgm=True`` additionally writes an ``sgm_disp`` dataset — a noisy,
+    partially-invalid (zeroed) copy of the GT disparity standing in for the
+    semi-global-matching disparities real captures ship with (reference
+    data/dataset.py real branch; consumed by the --data_type real SGM warmup
+    loss, reference single_frame_worker.py:157-163)."""
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     H, W = imsize
@@ -231,6 +238,11 @@ def generate_dataset(out_dir, n_samples: int = 4, imsize=(64, 56),
         with h5py.File(sample_dir / "frames.hdf5", "w") as f:
             for k, v in frames.items():
                 f.create_dataset(k, data=np.stack(v, axis=0))
+            if write_sgm:
+                disp = np.stack(frames["disp"], axis=0)
+                sgm = disp + rng.normal(0, 0.5, disp.shape).astype(np.float32)
+                sgm[rng.rand(*sgm.shape) < 0.2] = 0.0    # invalid pixels
+                f.create_dataset("sgm_disp", data=np.maximum(sgm, 0.0))
 
         if write_flow:
             with h5py.File(sample_dir / "flow.hdf5", "w") as f:

@@ -25,9 +25,18 @@ from ..data.dataset import Batch
 DATA_AXIS = "data"
 
 
-def make_mesh(devices=None) -> Mesh:
-    devices = devices if devices is not None else jax.devices()
-    return Mesh(np.asarray(devices), (DATA_AXIS,))
+def make_mesh(devices=None, batch_size: Optional[int] = None) -> Optional[Mesh]:
+    """1-D data mesh. With ``batch_size``, uses the largest device-count
+    prefix that divides it (a sharded axis must divide evenly); returns
+    None when only a single device would participate."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if batch_size is not None:
+        while n > 1 and batch_size % n != 0:
+            n -= 1
+        if n == 1:
+            return None
+    return Mesh(np.asarray(devices[:n]), (DATA_AXIS,))
 
 
 # PartitionSpec per Batch field (None fields are skipped).
@@ -56,6 +65,28 @@ def batch_shardings(mesh: Mesh, batch: Batch) -> Batch:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def pad_batch(batch: Batch, multiple: int) -> tuple[Batch, int]:
+    """Pad the batch axis up to a multiple by repeating the last sample
+    (eval loaders keep ragged tails; a sharded axis must divide the mesh).
+    Returns (padded batch, original batch size) — callers slice device
+    outputs back to the original size."""
+    bs = batch.im.shape[1]
+    pad = (-bs) % multiple
+    if pad == 0:
+        return batch, bs
+
+    def pad_leaf(v, axis):
+        if v is None:
+            return None
+        last = np.take(v, [-1], axis=axis)
+        reps = np.repeat(last, pad, axis=axis)
+        return np.concatenate([v, reps], axis=axis)
+
+    out = {k: pad_leaf(getattr(batch, k), 2 if k == "flow" else 1)
+           for k in Batch._fields}
+    return Batch(**out), bs
 
 
 def put_batch(batch: Batch, mesh: Optional[Mesh]) -> Batch:

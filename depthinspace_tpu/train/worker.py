@@ -35,7 +35,7 @@ import optax
 from ..config import RunConfig
 from ..data import TrackDataset, DataLoader, load_settings
 from ..models import DispNet, FuseNet
-from ..parallel import make_mesh, put_batch, replicated
+from ..parallel import make_mesh, put_batch, pad_batch, replicated
 from ..utils import metric as metric_lib
 from ..utils.gtimer import StopWatch, ETA
 from ..utils.jaxcfg import enable_compilation_cache
@@ -90,7 +90,12 @@ class Worker:
         self._init_seed(cfg.seed)
 
         n_dev = len(jax.devices())
-        self.mesh = make_mesh() if (cfg.use_mesh and n_dev > 1) else None
+        # mesh size adapts to the train batch size (a sharded axis must
+        # divide the device count); eval batches are padded to the mesh
+        # multiple in test_epoch
+        self.mesh = (make_mesh(batch_size=cfg.train_batch_size)
+                     if (cfg.use_mesh and n_dev > 1) else None)
+        self.mesh_size = self.mesh.devices.size if self.mesh is not None else 1
         logging.info(f"devices: {jax.devices()}  mesh: {self.mesh}")
 
         self.model = self.make_model()
@@ -313,10 +318,11 @@ class Worker:
         mean_loss = None
         n = 0
         for batch_idx, host_batch in enumerate(loader):
-            batch = put_batch(host_batch, self.mesh)
+            padded, n_valid = pad_batch(host_batch, self.mesh_size)
+            batch = put_batch(padded, self.mesh)
             disp0, comps = self.eval_step(params, batch, epoch_arr)
 
-            es = np.asarray(disp0)
+            es = np.asarray(disp0)[:, :n_valid]
             gt = host_batch.disp_gt.astype(np.float32)
             es = es * (gt > 0)
             met.add(es.reshape(-1, 1), gt.reshape(-1, 1))

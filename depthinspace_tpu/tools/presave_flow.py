@@ -17,6 +17,10 @@ provider interface with two in-repo providers:
                  exact for synthetic data, no network needed);
 - ``farneback``: classical dense flow (cv2.calcOpticalFlowFarneback) on the
                  ambient images, for real captures without ground truth;
+- ``learned``:   the in-repo JAX FlowNet (models/flownet.py) trained on
+                 renderer output with exact rigid-flow labels
+                 (tools/train_flow.py) — the capability replacement for the
+                 reference's LiteFlowNet checkpoint; pass ``--flow_params``;
 - precomputed flow.hdf5 files from any external method (e.g. LiteFlowNet)
   are consumed as-is by the dataset — no conversion needed.
 """
@@ -60,7 +64,26 @@ def farneback_flow(img_i, img_j):
     return np.moveaxis(flow, -1, 0)          # (2, H, W)
 
 
-def process_sample(sample: Path, provider: str, K, baseline, focal):
+def make_learned_infer(params_path: str, imsize):
+    """Jitted batched FlowNet inference: (P,H,W) pairs -> (P,2,H,W) flow."""
+    import jax
+    import jax.numpy as jnp
+    from .train_flow import load_flow_params
+    from ..models.flownet import FlowNet
+
+    params = load_flow_params(params_path, imsize)
+    net = FlowNet()
+
+    @jax.jit
+    def infer(a, b):
+        out = net.apply(params, a[..., None], b[..., None])[-1]
+        return jnp.moveaxis(out, -1, 1)           # (P, 2, H, W)
+
+    return infer
+
+
+def process_sample(sample: Path, provider: str, K, baseline, focal,
+                   learned_infer=None):
     with h5py.File(sample / "frames.hdf5", "r") as f:
         tl = f["im"].shape[0]
         amb = np.asarray(f["ambient"][:, 0], np.float32)
@@ -70,25 +93,34 @@ def process_sample(sample: Path, provider: str, K, baseline, focal):
             t = np.asarray(f["t"], np.float32)
             depth = baseline * focal / np.maximum(disp, 1e-6)
 
+    pairs = [(i, j) for i in range(tl) for j in range(tl) if i != j]
+    if provider == "learned":
+        # all ordered pairs in one batched device call
+        a = np.stack([amb[i] for i, _ in pairs])
+        b = np.stack([amb[j] for _, j in pairs])
+        flows = np.asarray(learned_infer(a, b))
+
     with h5py.File(sample / "flow.hdf5", "w") as f:
-        for i in range(tl):
-            for j in range(tl):
-                if i == j:
-                    continue
-                if provider == "rigid":
-                    fl = rigid_flow(depth[i], K, R[i], t[i], R[j], t[j])
-                elif provider == "farneback":
-                    fl = farneback_flow(amb[i], amb[j])
-                else:
-                    raise ValueError(provider)
-                f.create_dataset(f"flow_{i}{j}",
-                                 data=fl[None].astype(np.float32))
+        for p, (i, j) in enumerate(pairs):
+            if provider == "rigid":
+                fl = rigid_flow(depth[i], K, R[i], t[i], R[j], t[j])
+            elif provider == "farneback":
+                fl = farneback_flow(amb[i], amb[j])
+            elif provider == "learned":
+                fl = flows[p]
+            else:
+                raise ValueError(provider)
+            f.create_dataset(f"flow_{i}{j}",
+                             data=fl[None].astype(np.float32))
 
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--provider", default="rigid",
-                    choices=["rigid", "farneback"])
+                    choices=["rigid", "farneback", "learned"])
+    ap.add_argument("--flow_params", default=None,
+                    help="FlowNet params (train_flow.py output); required "
+                         "for --provider learned")
     ap.add_argument("--data_dir", default=None)
     args = ap.parse_args(argv)
 
@@ -96,11 +128,18 @@ def main(argv=None):
     data_root = Path(args.data_dir or paths["DATA_DIR"])
     settings = load_settings(data_root / "settings.pkl")
 
+    learned_infer = None
+    if args.provider == "learned":
+        params_path = args.flow_params or str(
+            Path(paths["OUTPUT_DIR"]) / "flownet.msgpack")
+        learned_infer = make_learned_infer(params_path, settings.imsize)
+
     sample_dirs = sorted(p for p in data_root.iterdir()
                          if p.is_dir() and (p / "frames.hdf5").exists())
     for i, sample in enumerate(sample_dirs):
         process_sample(sample, args.provider, settings.K,
-                       settings.baseline, settings.focal_length)
+                       settings.baseline, settings.focal_length,
+                       learned_infer=learned_infer)
         if i % 100 == 0:
             print(f"{i + 1}/{len(sample_dirs)}")
     print(f"wrote flow.hdf5 ({args.provider}) for {len(sample_dirs)} samples")

@@ -47,6 +47,7 @@ class RunConfig:
     num_workers: int = 4
     # options
     use_pseudo_gt: bool = False
+    mf_dtype: str = "bfloat16"              # FuseNet compute dtype
     seed: int = 42
     learning_rate: float = 1e-4
     save_frequency: int = 1
@@ -71,4 +72,5 @@ class RunConfig:
             track_length=args.track_length,
             train_batch_size=args.train_batch_size,
             use_pseudo_gt=args.use_pseudo_gt,
+            mf_dtype=getattr(args, "mf_dtype", "bfloat16"),
         )

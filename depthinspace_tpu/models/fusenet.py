@@ -48,14 +48,16 @@ def _selu_conv(features, kernel, stride=1, name=None):
 class ResNetBlock(nn.Module):
     """conv-SELU-GN x2 + identity (reference model/multi_frame_networks.py:514-541)."""
     features: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        y = nn.Conv(self.features, (3, 3), padding="SAME")(x)
+        dt = self.dtype
+        y = nn.Conv(self.features, (3, 3), padding="SAME", dtype=dt)(x)
         y = nn.selu(y)
-        y = nn.GroupNorm(num_groups=1)(y)
-        y = nn.Conv(self.features, (3, 3), padding="SAME")(y)
-        y = nn.GroupNorm(num_groups=1)(y)
+        y = nn.GroupNorm(num_groups=1, dtype=dt)(y)
+        y = nn.Conv(self.features, (3, 3), padding="SAME", dtype=dt)(y)
+        y = nn.GroupNorm(num_groups=1, dtype=dt)(y)
         return nn.selu(y + x)
 
 
@@ -100,14 +102,20 @@ class PointConv(nn.Module):
     neighbors: int = 9
     ksize: int = 3
     stride: int = 1
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, xyz, feat, mask):
         """xyz: (tl, N, h, w, 3) in the target camera frame (stack position 0
         = target); feat: (tl, N, h, w, C); mask: (tl, N, h, w, 1).
-        Returns (N, h', w', features)."""
+        Returns (N, h', w', features).
+
+        Mixed precision: the neighbor *selection* (plane distances, top_k)
+        always runs in f32 — bf16 distance ties would reorder neighbors —
+        while the weight MLP and feature contraction run in ``dtype``."""
         tl = xyz.shape[0]
         k2 = self.ksize * self.ksize
+        dt = self.dtype
 
         def pats(v):
             # (tl, N, h, w, C) -> (N, h', w', k2, tl, C) -> (N,h',w',k2*tl,C)
@@ -127,7 +135,8 @@ class PointConv(nn.Module):
         dist = jnp.sum(plane_local * plane_local, axis=-1)      # (N,h',w',k2*tl)
 
         # push masked-out candidates beyond the global max so top_k skips them
-        m = mask_p[..., 0]
+        m = mask_p[..., 0].astype(jnp.float32)
+        dist = dist.astype(jnp.float32)
         dist_masked = m * dist + (1.0 - m) * (jnp.max(dist) + 1.0)
         _, idx = jax.lax.top_k(-dist_masked, self.neighbors)    # 9 smallest
 
@@ -135,22 +144,24 @@ class PointConv(nn.Module):
         # per-pixel take_along_axis gathers lower to the pathologically slow
         # flat dynamic-gather fusion on this TPU stack, while the (9,36)x
         # (36,C) einsum is dense VPU/MXU work with einsum gradients
-        onehot = jax.nn.one_hot(idx, k2 * tl, dtype=xyz_p.dtype)
-        xyz_nb = jnp.einsum("nhwks,nhwsc->nhwkc", onehot, xyz_local,
+        onehot = jax.nn.one_hot(idx, k2 * tl, dtype=jnp.float32)
+        xyz_nb = jnp.einsum("nhwks,nhwsc->nhwkc", onehot,
+                            xyz_local.astype(jnp.float32),
                             preferred_element_type=jnp.float32,
                             precision=jax.lax.Precision.HIGHEST)
-        feat_nb = jnp.einsum("nhwks,nhwsc->nhwkc", onehot, feat_p,
-                             preferred_element_type=jnp.float32,
+        feat_nb = jnp.einsum("nhwks,nhwsc->nhwkc", onehot.astype(dt),
+                             feat_p.astype(dt),
+                             preferred_element_type=dt,
                              precision=jax.lax.Precision.HIGHEST)
 
-        wgt = nn.selu(nn.Dense(self.features // 2)(xyz_nb))
-        wgt = nn.selu(nn.Dense(self.features)(wgt))             # (N,h',w',9,F)
+        wgt = nn.selu(nn.Dense(self.features // 2, dtype=dt)(xyz_nb.astype(dt)))
+        wgt = nn.selu(nn.Dense(self.features, dtype=dt)(wgt))   # (N,h',w',9,F)
 
         feat_weighted = jnp.sum(wgt * feat_nb, axis=-2)         # (N, h', w', F)
-        out = nn.Dense(self.features, use_bias=False,
+        out = nn.Dense(self.features, use_bias=False, dtype=dt,
                        kernel_init=nn.initializers.xavier_uniform())(feat_weighted)
         out = nn.selu(out)
-        return nn.GroupNorm(num_groups=1)(out)
+        return nn.GroupNorm(num_groups=1, dtype=dt)(out)
 
 
 class Block2D3D(nn.Module):
@@ -159,12 +170,14 @@ class Block2D3D(nn.Module):
     (reference model/multi_frame_networks.py:307-430)."""
     features: int
     track_length: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, feat, warped_xyz, warped_mask, flow):
         """feat: (tl, N, h, w, C); warped_xyz: (tl_t, tl_s, N, h, w, 3);
         warped_mask: (tl_t, tl_s, N, h, w, 1); flow: (tl, tl, N, h, w, 2)."""
         tl = self.track_length
+        dt = self.dtype
         order = source_order(tl)
 
         def gather_warped_feat(f, fl):
@@ -182,7 +195,7 @@ class Block2D3D(nn.Module):
         # vmap the point conv over the target-frame axis (shared params)
         Pc1 = nn.vmap(PointConv, in_axes=(0, 0, 0), out_axes=0,
                       variable_axes={"params": None}, split_rngs={"params": False})
-        out3d_1 = Pc1(self.features, stride=2, name="conv3d_1")(
+        out3d_1 = Pc1(self.features, stride=2, dtype=dt, name="conv3d_1")(
             warped_xyz, warped_feat, warped_mask)          # (tl, N, h/2, w/2, C)
 
         # second point conv at the coarser scale
@@ -194,38 +207,39 @@ class Block2D3D(nn.Module):
         warped_feat2 = gather_warped_feat(out3d_1, flow_half)
         Pc2 = nn.vmap(PointConv, in_axes=(0, 0, 0), out_axes=0,
                       variable_axes={"params": None}, split_rngs={"params": False})
-        out3d_2 = Pc2(self.features, stride=1, name="conv3d_2")(
+        out3d_2 = Pc2(self.features, stride=1, dtype=dt, name="conv3d_2")(
             xyz_half, warped_feat2, mask_half)             # (tl, N, h/2, w/2, C)
 
         # --- 2D branch ---------------------------------------------------
         # mask-weighted merge of the warped feature stack
         # (reference fwd_2d, :406-430)
         mmean = jnp.mean(warped_mask, axis=1, keepdims=True)
-        wf = warped_feat * warped_mask / mmean             # (tl_t, tl_s, N, h, w, C)
+        wf = warped_feat * (warped_mask / mmean).astype(warped_feat.dtype)
         tl_t, tl_s, N, h, w, C = wf.shape
         wf = jnp.moveaxis(wf, 1, -2).reshape(tl_t * N, h, w, tl_s * C)
 
-        mf = nn.Conv(self.features, (1, 1), name="conv_mf")(wf)
-        mf = nn.GroupNorm(num_groups=1)(mf)
+        mf = nn.Conv(self.features, (1, 1), dtype=dt, name="conv_mf")(wf)
+        mf = nn.GroupNorm(num_groups=1, dtype=dt)(mf)
 
-        b1 = nn.GroupNorm(num_groups=1)(nn.selu(
-            nn.Conv(self.features, (3, 3), padding="SAME")(mf)))
-        b1 = nn.GroupNorm(num_groups=1)(nn.selu(
-            nn.Conv(self.features, (3, 3), padding="SAME")(b1)))
+        b1 = nn.GroupNorm(num_groups=1, dtype=dt)(nn.selu(
+            nn.Conv(self.features, (3, 3), padding="SAME", dtype=dt)(mf)))
+        b1 = nn.GroupNorm(num_groups=1, dtype=dt)(nn.selu(
+            nn.Conv(self.features, (3, 3), padding="SAME", dtype=dt)(b1)))
 
-        b2 = nn.GroupNorm(num_groups=1)(nn.selu(
-            nn.Conv(self.features, (4, 4), strides=(2, 2), padding="SAME")(mf)))
-        b2 = nn.GroupNorm(num_groups=1)(nn.selu(
-            nn.Conv(self.features, (3, 3), padding="SAME")(b2)))
+        b2 = nn.GroupNorm(num_groups=1, dtype=dt)(nn.selu(
+            nn.Conv(self.features, (4, 4), strides=(2, 2), padding="SAME",
+                    dtype=dt)(mf)))
+        b2 = nn.GroupNorm(num_groups=1, dtype=dt)(nn.selu(
+            nn.Conv(self.features, (3, 3), padding="SAME", dtype=dt)(b2)))
         b2 = resize_bilinear(b2, h, w, align_corners=True)
 
         o3 = out3d_2.reshape(tl_t * N, h2, w2, C)
         o3 = resize_bilinear(o3, h, w, align_corners=True)
 
         fuse = jnp.concatenate([b1, b2, o3], axis=-1)
-        fuse = nn.Conv(self.features, (3, 3), padding="SAME",
+        fuse = nn.Conv(self.features, (3, 3), padding="SAME", dtype=dt,
                        name="conv_fuse")(fuse)
-        fuse = nn.GroupNorm(num_groups=1)(fuse)
+        fuse = nn.GroupNorm(num_groups=1, dtype=dt)(fuse)
 
         out = nn.selu(fuse.reshape(tl_t, N, h, w, C) + feat)
         return out
@@ -266,6 +280,7 @@ class FuseNet(nn.Module):
     channels: int = 32
     max_disp: float = 128.0
     use_remat: bool = True
+    compute_dtype: jnp.dtype = jnp.float32
 
     def _core_ray(self):
         """Half-res ray grid at even pixel indices (reference :121-128 uses
@@ -284,19 +299,23 @@ class FuseNet(nn.Module):
     def __call__(self, ir, amb, primary_disp, primary_depth, R, t, flow):
         tl, N, H, W, _ = ir.shape
         C = self.channels
+        dt = self.compute_dtype
         ray, ch, cw = self._core_ray()
 
         # ---------------- encoder (pre_process, reference :216-227) -------
         x = jnp.concatenate([ir, amb, primary_disp], axis=-1)
-        x = x.reshape(tl * N, H, W, 4)
+        x = x.reshape(tl * N, H, W, 4).astype(dt)
         x = nn.selu(nn.Conv(C // 2, (4, 4), strides=(2, 2), padding="SAME",
-                            name="conv1")(x))
-        x = nn.selu(nn.Conv(C // 2, (3, 3), padding="SAME", name="conv2")(x))
-        x = nn.selu(nn.Conv(C, (3, 3), padding="SAME", name="conv3")(x))
-        x = nn.selu(nn.Conv(C, (3, 3), padding="SAME", name="conv4")(x))
-        x = ResNetBlock(C, name="res1")(x)
-        x = ResNetBlock(C, name="res2")(x)
-        feat = ResNetBlock(C, name="res3")(x)
+                            dtype=dt, name="conv1")(x))
+        x = nn.selu(nn.Conv(C // 2, (3, 3), padding="SAME", dtype=dt,
+                            name="conv2")(x))
+        x = nn.selu(nn.Conv(C, (3, 3), padding="SAME", dtype=dt,
+                            name="conv3")(x))
+        x = nn.selu(nn.Conv(C, (3, 3), padding="SAME", dtype=dt,
+                            name="conv4")(x))
+        x = ResNetBlock(C, dtype=dt, name="res1")(x)
+        x = ResNetBlock(C, dtype=dt, name="res2")(x)
+        feat = ResNetBlock(C, dtype=dt, name="res3")(x)
         core_feat = feat.reshape(tl, N, ch, cw, C)
 
         # ---------------- geometry: core xyz per frame --------------------
@@ -346,7 +365,7 @@ class FuseNet(nn.Module):
         if self.use_remat:
             block_cls = nn.remat(Block2D3D, static_argnums=())
         for b in range(self.block_num):
-            core_feat = block_cls(C, self.track_length,
+            core_feat = block_cls(C, self.track_length, dtype=dt,
                                   name=f"block{b}")(core_feat, warped_xyz,
                                                     warped_mask, core_flow)
 
@@ -354,19 +373,23 @@ class FuseNet(nn.Module):
         feat = core_feat.reshape(tl * N, ch, cw, C)
         up = resize_bilinear(feat, H, W, align_corners=True)
 
-        a = amb.reshape(tl * N, H, W, 1)
-        a = nn.selu(nn.Conv(16, (3, 3), padding="SAME", name="amb_conv")(a))
+        a = amb.reshape(tl * N, H, W, 1).astype(dt)
+        a = nn.selu(nn.Conv(16, (3, 3), padding="SAME", dtype=dt,
+                            name="amb_conv")(a))
         amb_block = nn.remat(ResNetBlock) if self.use_remat else ResNetBlock
-        a = amb_block(16, name="amb_res1")(a)
-        a = amb_block(16, name="amb_res2")(a)
+        a = amb_block(16, dtype=dt, name="amb_res1")(a)
+        a = amb_block(16, dtype=dt, name="amb_res2")(a)
 
         y = jnp.concatenate([up, a], axis=-1)
-        y = nn.selu(nn.Conv(32, (3, 3), padding="SAME", name="ref_conv")(y))
+        y = nn.selu(nn.Conv(32, (3, 3), padding="SAME", dtype=dt,
+                            name="ref_conv")(y))
         ref_block = nn.remat(ResNetBlock) if self.use_remat else ResNetBlock
-        y = ref_block(32, name="ref_res1")(y)
-        y = ref_block(32, name="ref_res2")(y)
-        y = ref_block(32, name="ref_res3")(y)
-        y = nn.selu(nn.Conv(16, (3, 3), padding="SAME", name="final_conv")(y))
+        y = ref_block(32, dtype=dt, name="ref_res1")(y)
+        y = ref_block(32, dtype=dt, name="ref_res2")(y)
+        y = ref_block(32, dtype=dt, name="ref_res3")(y)
+        y = nn.selu(nn.Conv(16, (3, 3), padding="SAME", dtype=dt,
+                            name="final_conv")(y))
 
-        disp = SigmoidAffineHead(self.max_disp, name="predict_disp")(y)
+        disp = SigmoidAffineHead(self.max_disp, name="predict_disp")(
+            y.astype(jnp.float32))
         return disp.reshape(tl, N, H, W, 1)

@@ -42,6 +42,11 @@ def flow_warp(x: jax.Array, flow: jax.Array, max_shift: int = 16) -> jax.Array:
     flow = jax.lax.stop_gradient(flow)
     if _on_tpu() and x.shape[1] % 8 == 0:
         from .pallas.warp_kernel import warp2d
+        if x.dtype != jnp.float32:
+            # the Pallas kernels are f32; round-trip the values but keep the
+            # caller's compute dtype (bf16 FuseNet feature warps)
+            return warp2d(x.astype(jnp.float32), flow.astype(jnp.float32),
+                          int(max_shift)).astype(x.dtype)
         return warp2d(x, flow, int(max_shift))
     from .sampling import warp
     return warp(x, flow, padding="zeros")

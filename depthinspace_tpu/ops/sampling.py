@@ -161,9 +161,14 @@ def resize_bilinear(x: jax.Array, height: int, width: int,
     y = jnp.einsum("Hh,nhwc->nHwc", Mh, x,
                    preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST)
-    return jnp.einsum("Ww,nHwc->nHWc", Mw, y,
-                      preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
+    out = jnp.einsum("Ww,nHwc->nHWc", Mw, y,
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+    # dtype-preserving: the f32 interp matrices promote bf16 inputs inside
+    # the einsum (full f32 accumulation), but the *stored* result must stay
+    # in the caller's compute dtype or full-res bf16 activations silently
+    # re-inflate to f32 (2x HBM on the FuseNet decoder path).
+    return out.astype(x.dtype)
 
 
 @partial(jax.jit, static_argnames=("height", "width"))

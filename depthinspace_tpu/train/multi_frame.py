@@ -23,7 +23,8 @@ class MultiFrameWorker(Worker):
         K = tuple(map(tuple, self.settings.K.tolist()))
         return FuseNet(imsize=(H, W), K=K,
                        track_length=self.cfg.track_length,
-                       max_disp=self.cfg.max_disp)
+                       max_disp=self.cfg.max_disp,
+                       compute_dtype=jnp.dtype(self.cfg.mf_dtype))
 
     def init_params(self):
         tl = self.cfg.track_length

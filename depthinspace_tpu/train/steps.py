@@ -120,6 +120,10 @@ def build_steps(model, ctx: LossContext, optimizer: optax.GradientTransformation
     def eval_step_pub(params, batch, epoch):
         return eval_jit(params, batch, epoch, consts)
 
+    # expose the raw jits + threaded constants for cost analysis (bench.py
+    # lowers the same program — a cache hit — to read XLA's FLOP estimate)
+    train_step_pub._jit, eval_step_pub._jit = train_jit, eval_jit
+    train_step_pub._consts = eval_step_pub._consts = consts
     return train_step_pub, eval_step_pub
 
 

@@ -47,4 +47,10 @@ def parse_args(argv=None):
     parser.add_argument("--use_pseudo_gt",
                         help="Only applicable in single-frame model",
                         default=False, type=str2bool)
+    parser.add_argument("--mf_dtype",
+                        help="FuseNet compute dtype (params/losses stay f32); "
+                             "bfloat16 halves HBM and enables the reference "
+                             "batch size 4 at full resolution on one chip",
+                        default="bfloat16",
+                        choices=["float32", "bfloat16"], type=str)
     return parser.parse_args(argv)

@@ -1,90 +1,184 @@
 #!/usr/bin/env python
-"""Benchmark: DIS-SF self-supervised training throughput on one chip.
+"""Benchmark the driver's target configs (BASELINE.json) on one TPU chip.
 
-Measures the full jitted training step — LCN preprocessing, DispNet forward,
-census photometric + smoothness + 6-pair multi-view geometric losses,
-backward, Adam — at the reference's headline configuration (512x432,
-batch 8 tracks of 4 frames => 32 images/step; reference README.md:74,
-BASELINE.md).
+Headline metric (BASELINE.json "metric"): DIS-MF 4-frame fusion training
+steps/sec at the reference batch config — bs=4, 512x432, pre-saved flow
+(reference README.md:91 trains this on a 24 GB GPU). Submetrics carried in
+the same JSON line:
+  - DIS-SF self-supervised training steps/sec (bs=8, full loss stack,
+    reference README.md:74);
+  - DIS-SF inference disparity maps/sec/chip (512x432);
+  - measured step FLOPs (XLA cost analysis) and MFU vs the v5e bf16 peak.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "steps/sec", "vs_baseline": N}
+All timings hard-sync via a device->host copy (np.asarray): on this
+backend jax.block_until_ready can return before execution completes.
 
 vs_baseline: the reference publishes no throughput numbers (BASELINE.md).
-The denominator used here is an engineering estimate of the reference
-PyTorch pipeline on a 24 GB GPU at the same config — 2.0 train steps/sec
-(eager per-phase execution with CUDA sync between phases, README-documented
-hardware class). Treat vs_baseline as indicative until a measured reference
-number exists.
+The denominator is an engineering estimate of the reference PyTorch DIS-MF
+pipeline at bs=4 on its documented 24 GB-GPU class: ~1.0 train steps/sec
+(eager per-phase execution, python-loop Conv3D/unfold/topk fusion blocks
+with activation checkpointing). Treat vs_baseline as indicative; the MFU
+figure is the hardware-anchored number.
 """
 import json
 import time
 
 import numpy as np
 
-BASELINE_STEPS_PER_SEC = 2.0   # estimated reference throughput (see above)
+BASELINE_MF_STEPS_PER_SEC = 1.0   # estimated reference DIS-MF throughput
+BASELINE_SF_STEPS_PER_SEC = 2.0   # estimated reference DIS-SF throughput
+V5E_BF16_PEAK_FLOPS = 197e12
+
+H, W = 512, 432
+TL = 4
 
 
-def main():
+def _sync(x):
+    np.asarray(x)
+
+
+def _settings():
+    from depthinspace_tpu.data.settings import Settings
+    from depthinspace_tpu.data.fixture import make_dot_pattern
+    K = np.array([[435.2, 0, 216.0], [0, 435.2, 256.0], [0, 0, 1]],
+                 np.float32)
+    return Settings(imsize=(H, W), pattern=make_dot_pattern(H, W),
+                    baseline=0.025, K=K), K
+
+
+def _batch(bs, with_primary):
+    from depthinspace_tpu.data.dataset import Batch
+    rng = np.random.RandomState(0)
+    return Batch(
+        im=rng.rand(TL, bs, H, W).astype(np.float32),
+        ambient=rng.rand(TL, bs, H, W).astype(np.float32),
+        disp_gt=rng.uniform(1, 100, (TL, bs, H, W)).astype(np.float32),
+        R=np.broadcast_to(np.eye(3, dtype=np.float32),
+                          (TL, bs, 3, 3)).copy(),
+        t=rng.uniform(-0.1, 0.1, (TL, bs, 3)).astype(np.float32),
+        flow=rng.uniform(-2, 2, (TL, TL, bs, H, W, 2)).astype(np.float32),
+        primary_disp=(rng.uniform(1, 100, (TL, bs, H, W)).astype(np.float32)
+                      if with_primary else None),
+    )
+
+
+def _flops_of(jitfn, *args):
+    """Step FLOPs from XLA cost analysis (cache-hit recompile)."""
+    try:
+        cost = jitfn.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0)) or None
+    except Exception:
+        return None
+
+
+def bench_train(architecture, bs, n_steps):
     import jax
     import jax.numpy as jnp
     import optax
-
-    from depthinspace_tpu.utils.jaxcfg import enable_compilation_cache
-    from depthinspace_tpu.data.dataset import Batch
-    from depthinspace_tpu.data.settings import Settings
-    from depthinspace_tpu.data.fixture import make_dot_pattern
-    from depthinspace_tpu.models import DispNet
+    from depthinspace_tpu.models import DispNet, FuseNet
     from depthinspace_tpu.train import (TrainState, make_loss_context,
                                         build_steps)
 
-    enable_compilation_cache()
-
-    H, W = 512, 432
-    tl, bs = 4, 8
-    K = np.array([[435.2, 0, 216.0], [0, 435.2, 256.0], [0, 0, 1]], np.float32)
-    settings = Settings(imsize=(H, W), pattern=make_dot_pattern(H, W),
-                        baseline=0.025, K=K)
-
-    model = DispNet(max_disp=128.0)
-    ctx = make_loss_context(settings, track_length=tl)
+    settings, K = _settings()
+    ctx = make_loss_context(settings, track_length=TL)
     opt = optax.adam(1e-4)
-    params = model.init(jax.random.key(0), jnp.zeros((1, H, W, 2)))
-    state = TrainState.create(params, opt, jax.random.key(1))
-    train_step, _ = build_steps(model, ctx, opt, "single_frame", mesh=None)
+    zeros = jnp.zeros
 
-    rng = np.random.RandomState(0)
-    batch = Batch(
-        im=rng.rand(tl, bs, H, W).astype(np.float32),
-        ambient=rng.rand(tl, bs, H, W).astype(np.float32),
-        disp_gt=rng.uniform(1, 100, (tl, bs, H, W)).astype(np.float32),
-        R=np.broadcast_to(np.eye(3, dtype=np.float32), (tl, bs, 3, 3)).copy(),
-        t=rng.uniform(-0.1, 0.1, (tl, bs, 3)).astype(np.float32),
-        flow=rng.uniform(-2, 2, (tl, tl, bs, H, W, 2)).astype(np.float32),
-    )
+    if architecture == "single_frame":
+        model = DispNet(max_disp=128.0)
+        params = model.init(jax.random.key(0), zeros((1, H, W, 2)))
+        batch = _batch(bs, with_primary=False)
+    else:
+        model = FuseNet(imsize=(H, W), K=tuple(map(tuple, K.tolist())),
+                        track_length=TL, max_disp=128.0,
+                        compute_dtype=jnp.bfloat16)
+        params = model.init(
+            jax.random.key(0),
+            zeros((TL, 1, H, W, 2)), zeros((TL, 1, H, W, 1)),
+            zeros((TL, 1, H, W, 1)), jnp.ones((TL, 1, H, W, 1)),
+            jnp.broadcast_to(jnp.eye(3), (TL, 1, 3, 3)),
+            zeros((TL, 1, 3)), zeros((TL, TL, 1, H, W, 2)))
+        batch = _batch(bs, with_primary=True)
+
+    state = TrainState.create(params, opt, jax.random.key(1))
+    train_step, _ = build_steps(model, ctx, opt, architecture, mesh=None)
     batch = jax.device_put(batch)
     epoch = jnp.asarray(0.0)
 
-    # warmup (compile) — NOTE: on this backend jax.block_until_ready can
-    # return before device execution finishes; a device->host transfer
-    # (np.asarray) is the reliable synchronization point.
     for _ in range(3):
         state, comps = train_step(state, batch, epoch)
-    np.asarray(comps)
-
-    n_steps = 30
+    _sync(comps)
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state, comps = train_step(state, batch, epoch)
-    np.asarray(comps)       # hard sync
+    _sync(comps)
     dt = time.perf_counter() - t0
+    flops = _flops_of(train_step._jit, state, batch, epoch,
+                      train_step._consts)
+    return n_steps / dt, flops
 
-    steps_per_sec = n_steps / dt
+
+def bench_sf_inference(bs=32, n_iters=20):
+    """Disparity maps/sec/chip: LCN preprocess + DispNet forward, finest
+    scale output (the presave_disp / retest path)."""
+    import jax
+    import jax.numpy as jnp
+    from depthinspace_tpu.models import DispNet
+    from depthinspace_tpu.ops import lcn
+
+    model = DispNet(max_disp=128.0)
+    params = model.init(jax.random.key(0), jnp.zeros((1, H, W, 2)))
+
+    @jax.jit
+    def infer(params, im):
+        im_lcn, _ = lcn(im, 5, 0.05)
+        net_in = jnp.stack([im_lcn, im], axis=-1)
+        return model.apply(params, net_in)[0][..., 0]
+
+    rng = np.random.RandomState(0)
+    im = jax.device_put(rng.rand(bs, H, W).astype(np.float32))
+    for _ in range(3):
+        out = infer(params, im)
+    _sync(out)
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = infer(params, im)
+    _sync(out)
+    dt = time.perf_counter() - t0
+    return bs * n_iters / dt, infer, params, im
+
+
+def main():
+    from depthinspace_tpu.utils.jaxcfg import enable_compilation_cache
+    enable_compilation_cache()
+
+    sub = {}
+
+    mf_sps, mf_flops = bench_train("multi_frame", bs=4, n_steps=10)
+    sf_sps, sf_flops = bench_train("single_frame", bs=8, n_steps=20)
+    sub["sf_train_steps_per_sec"] = round(sf_sps, 4)
+    sub["sf_train_vs_baseline"] = round(sf_sps / BASELINE_SF_STEPS_PER_SEC, 3)
+    if mf_flops:
+        sub["mf_step_tflops"] = round(mf_flops / 1e12, 3)
+        sub["mf_mfu_vs_v5e_bf16_peak"] = round(
+            mf_flops * mf_sps / V5E_BF16_PEAK_FLOPS, 4)
+    if sf_flops:
+        sub["sf_step_tflops"] = round(sf_flops / 1e12, 3)
+        sub["sf_mfu_vs_v5e_bf16_peak"] = round(
+            sf_flops * sf_sps / V5E_BF16_PEAK_FLOPS, 4)
+
+    maps_ps, *_ = bench_sf_inference()
+    sub["sf_infer_maps_per_sec_per_chip"] = round(maps_ps, 2)
+
     print(json.dumps({
-        "metric": "DIS-SF train steps/sec (512x432, batch 8x4 frames, full loss stack)",
-        "value": round(steps_per_sec, 4),
+        "metric": "DIS-MF train steps/sec (512x432, bs 4 tracks x 4 frames, "
+                  "bf16 FuseNet, full loss stack)",
+        "value": round(mf_sps, 4),
         "unit": "steps/sec",
-        "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 3),
+        "vs_baseline": round(mf_sps / BASELINE_MF_STEPS_PER_SEC, 3),
+        "submetrics": sub,
     }))
 
 

@@ -48,6 +48,10 @@ class RunConfig:
     # options
     use_pseudo_gt: bool = False
     mf_dtype: str = "bfloat16"              # FuseNet compute dtype
+    mf_remat: bool = True                   # remat FuseNet fusion blocks
+    device_augment: bool = True             # augmentation inside the jit step
+    test_frequency: int = 1                 # eval every N epochs
+    flow_source: str = "file"               # file | rigid (in-graph, synthetic)
     seed: int = 42
     learning_rate: float = 1e-4
     save_frequency: int = 1
@@ -73,4 +77,8 @@ class RunConfig:
             train_batch_size=args.train_batch_size,
             use_pseudo_gt=args.use_pseudo_gt,
             mf_dtype=getattr(args, "mf_dtype", "bfloat16"),
+            mf_remat=getattr(args, "mf_remat", True),
+            device_augment=getattr(args, "device_augment", True),
+            test_frequency=getattr(args, "test_frequency", 1),
+            flow_source=getattr(args, "flow_source", "file"),
         )

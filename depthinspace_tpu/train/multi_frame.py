@@ -24,7 +24,8 @@ class MultiFrameWorker(Worker):
         return FuseNet(imsize=(H, W), K=K,
                        track_length=self.cfg.track_length,
                        max_disp=self.cfg.max_disp,
-                       compute_dtype=jnp.dtype(self.cfg.mf_dtype))
+                       compute_dtype=jnp.dtype(self.cfg.mf_dtype),
+                       use_remat=self.cfg.mf_remat)
 
     def init_params(self):
         tl = self.cfg.track_length
@@ -39,8 +40,10 @@ class MultiFrameWorker(Worker):
 
     def _dataset(self, paths, train):
         return TrackDataset(
-            self.settings, paths, train=train, data_aug=train,
-            track_length=self.cfg.track_length, load_flow=True,
+            self.settings, paths, train=train,
+            data_aug=train and not self.cfg.device_augment,
+            track_length=self.cfg.track_length,
+            load_flow=self.cfg.flow_source == "file",
             load_primary=True,
             load_pseudo_gt=(not train) and self.cfg.use_pseudo_gt,
             data_type=self.cfg.data_type)
@@ -50,4 +53,4 @@ class MultiFrameWorker(Worker):
 
     def make_test_sets(self):
         return [TestSet("simple", self._dataset(self.test_paths, train=False),
-                        test_frequency=1)]
+                        test_frequency=self.cfg.test_frequency)]

@@ -56,6 +56,19 @@ class LossContext(NamedTuple):
     sgm_valid_threshold: float = 30.0
     geo_clamp: float = 0.1
     geo_max_shift: int = 16
+    # device-side augmentation (train only; the max_shift=0 menu of the
+    # reference's CPU augmentation, reference data/data_manipulation.py:
+    # 114-195 — this host has a single CPU core, so per-frame cv2/numpy
+    # augmentation starves the chip; on-device it is ~free)
+    augment: bool = False
+    aug_max_blur: float = 0.5
+    aug_max_noise: float = 3.0
+    aug_max_sp_noise: float = 0.0005
+    # "file": flow comes from flow.hdf5 via the loader (any provider);
+    # "rigid": computed in-graph from GT disparity + poses — exact on
+    # static synthetic scenes and removes the largest host->device
+    # transfer (the (tl,tl,H,W,2) flow block is ~60% of batch bytes)
+    flow_source: str = "file"
 
 
 def make_loss_context(settings, track_length=4, **kwargs) -> LossContext:
@@ -67,6 +80,106 @@ def make_loss_context(settings, track_length=4, **kwargs) -> LossContext:
                        focal_length=settings.focal_length,
                        baseline=settings.baseline,
                        track_length=track_length, **kwargs)
+
+
+def rigid_flow_device(cam, disp_gt, R, t, focal_length, baseline):
+    """All-pairs rigid optical flow from GT disparity + poses, in-graph.
+
+    Identical math to the offline rigid provider (tools/presave_flow.py::
+    rigid_flow, itself the reprojection of ops/geometry.py): unproject each
+    frame's depth to world, project into every other frame, subtract the
+    pixel grid. Returns (tl, tl, bs, H, W, 2) with a zero diagonal — the
+    exact layout the datasets collate from flow.hdf5."""
+    from ..ops.geometry import unproject
+
+    tl, bs, H, W = disp_gt.shape
+    depth = disp_to_depth(disp_gt, focal_length, baseline)
+    xyz = unproject(depth.reshape(tl * bs, -1), cam.ray,
+                    R.reshape(tl * bs, 3, 3), t.reshape(tl * bs, 3))
+    xyz = xyz.reshape(tl, bs, -1, 3)
+    # into every target frame j: xyz @ R_j^T + t_j, then K projection
+    xyz_t = (jnp.einsum("sbpj,tbij->tsbpi", xyz, R)
+             + t[:, None, :, None, :])
+    uvd = jnp.einsum("tsbpj,ij->tsbpi", xyz_t, cam.K)
+    uv = uvd[..., :2] / (jax.nn.relu(uvd[..., 2:3]) + 1e-12)
+    flow = (uv.reshape(tl, tl, bs, H, W, 2)
+            - cam.grid[None, None, None])
+    # note the pair order: flow[i, j] must map frame-i pixels into frame j,
+    # i.e. source depth i (axis 's') projected into target j (axis 't') —
+    # einsum output is (t, s, ...), so transpose to (s, t, ...) = (i, j, ...)
+    flow = jnp.swapaxes(flow, 0, 1)
+    diag = jnp.eye(tl, dtype=flow.dtype).reshape(tl, tl, 1, 1, 1, 1)
+    return jax.lax.stop_gradient(flow * (1.0 - diag))
+
+
+def _gauss_blur5(x, sigma):
+    """Per-frame 5x5 separable Gaussian blur. x: (n, H, W); sigma: (n, 1, 1).
+    Matches cv2.GaussianBlur(ksize=5, sigmaX=sigma): kernel exp(-j^2/2s^2)
+    normalized, REFLECT_101 borders."""
+    offs = jnp.arange(-2.0, 3.0)
+    w = jnp.exp(-(offs ** 2)[None, :] / (2.0 * sigma.reshape(-1, 1) ** 2))
+    w = w / jnp.sum(w, axis=1, keepdims=True)            # (n, 5)
+
+    def pass1d(v, axis):
+        pad = [(0, 0)] * 3
+        pad[axis] = (2, 2)
+        vp = jnp.pad(v, pad, mode="reflect")
+        n = v.shape[axis]
+        acc = 0.0
+        for j in range(5):
+            sl = [slice(None)] * 3
+            sl[axis] = slice(j, j + n)
+            acc = acc + w[:, j, None, None] * vp[tuple(sl)]
+        return acc
+
+    return pass1d(pass1d(x, 2), 1)
+
+
+def augment_batch_device(batch, rng: jax.Array, ctx: LossContext):
+    """In-graph training augmentation of the IR + ambient images — the
+    max_shift=0 menu of the reference CPU augmentation (reference
+    data/data_manipulation.py:114-195, defaults data/dataset.py:67-70):
+    Gaussian blur p=0.5 (independent sigmas for IR/ambient), per-pixel
+    Gaussian noise with per-frame scale, salt & pepper p=0.5 on the IR
+    (levels = the frame's pre-noise min/max), clip to [0, 1]. Disparity
+    maps are unchanged (the affine shear/shift that would offset them is
+    disabled by the reference defaults)."""
+    tl, bs, H, W = batch.im.shape
+    n = tl * bs
+    im = batch.im.reshape(n, H, W)
+    amb = batch.ambient.reshape(n, H, W)
+    ks = jax.random.split(rng, 10)
+    uni = lambda k, lo, hi: jax.random.uniform(k, (n, 1, 1), minval=lo,
+                                               maxval=hi)
+
+    min_val = jnp.min(im, axis=(1, 2), keepdims=True)
+    max_val = jnp.max(im, axis=(1, 2), keepdims=True)
+
+    # blur (one coin per frame, separate sigmas — reference :63-67)
+    blur_on = uni(ks[0], 0.0, 1.0) < 0.5
+    im = jnp.where(blur_on, _gauss_blur5(im, uni(ks[1], 0.2, ctx.aug_max_blur)),
+                   im)
+    amb = jnp.where(blur_on,
+                    _gauss_blur5(amb, uni(ks[2], 0.2, ctx.aug_max_blur)), amb)
+
+    # per-pixel Gaussian noise, per-frame scale (reference :69-71)
+    im = im + (jax.random.normal(ks[3], im.shape)
+               * uni(ks[4], 0.0, ctx.aug_max_noise) / 255.0)
+    amb = amb + (jax.random.normal(ks[5], amb.shape)
+                 * uni(ks[6], 0.0, ctx.aug_max_noise) / 255.0)
+
+    # salt & pepper on the IR image (reference :73-81; the reference draws
+    # size*ratio indices with replacement == per-pixel Bernoulli(ratio))
+    sp_on = uni(ks[7], 0.0, 1.0) < 0.5
+    ratio = jnp.where(sp_on, uni(ks[8], 0.0, ctx.aug_max_sp_noise), 0.0)
+    u = jax.random.uniform(ks[9], (2,) + im.shape)
+    im = jnp.where(u[0] < ratio, max_val, im)
+    im = jnp.where(u[1] < ratio, min_val, im)
+
+    im = jnp.clip(im, 0.0, 1.0)
+    amb = jnp.clip(amb, 0.0, 1.0)
+    return batch._replace(im=im.reshape(tl, bs, H, W),
+                          ambient=amb.reshape(tl, bs, H, W))
 
 
 def preprocess_images(batch, lcn_radius: int = 5):

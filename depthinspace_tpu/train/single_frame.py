@@ -28,8 +28,10 @@ class SingleFrameWorker(Worker):
 
     def _dataset(self, paths, train):
         return TrackDataset(
-            self.settings, paths, train=train, data_aug=train,
-            track_length=self.cfg.track_length, load_flow=True,
+            self.settings, paths, train=train,
+            data_aug=train and not self.cfg.device_augment,
+            track_length=self.cfg.track_length,
+            load_flow=self.cfg.flow_source == "file",
             load_primary=False, load_pseudo_gt=self.cfg.use_pseudo_gt,
             data_type=self.cfg.data_type)
 
@@ -38,4 +40,4 @@ class SingleFrameWorker(Worker):
 
     def make_test_sets(self):
         return [TestSet("simple", self._dataset(self.test_paths, train=False),
-                        test_frequency=1)]
+                        test_frequency=self.cfg.test_frequency)]

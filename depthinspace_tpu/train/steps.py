@@ -19,7 +19,8 @@ import jax.numpy as jnp
 import optax
 
 from ..data.dataset import Batch
-from .objective import LossContext, sf_losses, mf_losses, preprocess_images
+from .objective import (LossContext, sf_losses, mf_losses, preprocess_images,
+                        augment_batch_device, rigid_flow_device)
 from .state import TrainState
 
 
@@ -64,10 +65,20 @@ def _make_step_fns(model, ctx: LossContext,
     consts = (ctx.cam, ctx.pattern_lcn)
     static_ctx = ctx._replace(cam=None, pattern_lcn=None)
 
+    def _prepare(batch: Batch, ctx_full: LossContext) -> Batch:
+        if ctx.flow_source == "rigid":
+            flow = rigid_flow_device(ctx_full.cam, batch.disp_gt, batch.R,
+                                     batch.t, ctx.focal_length, ctx.baseline)
+            batch = batch._replace(flow=flow)
+        return batch
+
     def train_step(state: TrainState, batch: Batch, epoch, consts):
         cam, pattern_lcn = consts
         ctx_full = static_ctx._replace(cam=cam, pattern_lcn=pattern_lcn)
-        rng, step_rng = jax.random.split(state.rng)
+        rng, step_rng, aug_rng = jax.random.split(state.rng, 3)
+        if ctx.augment:
+            batch = augment_batch_device(batch, aug_rng, ctx_full)
+        batch = _prepare(batch, ctx_full)
 
         def loss_fn(params):
             outs = forward(model, params, batch, ctx_full)
@@ -87,6 +98,7 @@ def _make_step_fns(model, ctx: LossContext,
     def eval_step(params, batch: Batch, epoch, consts):
         cam, pattern_lcn = consts
         ctx_full = static_ctx._replace(cam=cam, pattern_lcn=pattern_lcn)
+        batch = _prepare(batch, ctx_full)
         outs = forward(model, params, batch, ctx_full)
         _, comps = losses(outs, batch, ctx_full, train=False, epoch=epoch,
                           rng=jax.random.key(0))

@@ -102,7 +102,11 @@ class Worker:
         self.ctx = make_loss_context(
             self.settings, track_length=cfg.track_length,
             data_type=cfg.data_type, warmup_epochs=cfg.warmup_epochs,
-            use_pseudo_gt=cfg.use_pseudo_gt, lcn_radius=cfg.lcn_radius)
+            use_pseudo_gt=cfg.use_pseudo_gt, lcn_radius=cfg.lcn_radius,
+            augment=cfg.device_augment, flow_source=cfg.flow_source)
+        if cfg.flow_source == "rigid":
+            assert cfg.data_type == "synthetic", \
+                "--flow_source rigid needs GT disparity (synthetic data)"
         self.optimizer = optax.adam(cfg.learning_rate)
         self.train_step, self.eval_step = build_steps(
             self.model, self.ctx, self.optimizer, self.architecture,

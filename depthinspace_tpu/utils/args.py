@@ -47,6 +47,23 @@ def parse_args(argv=None):
     parser.add_argument("--use_pseudo_gt",
                         help="Only applicable in single-frame model",
                         default=False, type=str2bool)
+    parser.add_argument("--device_augment",
+                        help="Run training augmentation inside the jitted "
+                             "step on the accelerator instead of in CPU "
+                             "loader workers",
+                        default=True, type=str2bool)
+    parser.add_argument("--test_frequency",
+                        help="Evaluate every N epochs", default=1, type=int)
+    parser.add_argument("--flow_source", default="file",
+                        choices=["file", "rigid"],
+                        help="file: flow.hdf5 from any presave provider; "
+                             "rigid: computed in-graph from GT disparity + "
+                             "poses (synthetic data only — skips loading "
+                             "the flow block entirely)")
+    parser.add_argument("--mf_remat",
+                        help="Rematerialize FuseNet fusion blocks (trades "
+                             "recompute for HBM; disable when the batch fits)",
+                        default=True, type=str2bool)
     parser.add_argument("--mf_dtype",
                         help="FuseNet compute dtype (params/losses stay f32); "
                              "bfloat16 halves HBM and enables the reference "

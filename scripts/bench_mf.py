@@ -16,6 +16,7 @@ def main():
     bs = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     dtype = sys.argv[2] if len(sys.argv) > 2 else "bfloat16"
     n_steps = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    use_remat = not (len(sys.argv) > 4 and sys.argv[4] == "noremat")
 
     import jax
     import jax.numpy as jnp
@@ -38,7 +39,7 @@ def main():
 
     model = FuseNet(imsize=(H, W), K=tuple(map(tuple, K.tolist())),
                     track_length=tl, max_disp=128.0,
-                    compute_dtype=jnp.dtype(dtype))
+                    compute_dtype=jnp.dtype(dtype), use_remat=use_remat)
     ctx = make_loss_context(settings, track_length=tl)
     opt = optax.adam(1e-4)
 
@@ -65,7 +66,8 @@ def main():
     batch = jax.device_put(batch)
     epoch = jnp.asarray(0.0)
 
-    print(f"config: bs={bs} dtype={dtype} {H}x{W} tl={tl}", flush=True)
+    print(f"config: bs={bs} dtype={dtype} {H}x{W} tl={tl} "
+          f"remat={use_remat}", flush=True)
     t0 = time.perf_counter()
     state, comps = train_step(state, batch, epoch)
     np.asarray(comps)

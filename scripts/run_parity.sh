@@ -1,0 +1,57 @@
+#!/bin/bash
+# Accuracy-parity experiment (VERDICT item 7): train the full DIS-SF ->
+# presave -> DIS-MF -> presave -> DIS-FTSF pipeline on a reduced synthetic
+# dataset and record the eval-metric trajectories (o(1) outlier parity is
+# the north star, BASELINE.md).
+#
+# Prereq: dataset generated via
+#   python -m depthinspace_tpu.tools.create_syn_data default \
+#       --objects procedural --n_samples 2048 --data_dir ./dataset
+#
+# Usage: bash scripts/run_parity.sh [SF_EPOCHS] [MF_EPOCHS] [FTSF_EPOCHS]
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+SF_EPOCHS=${1:-30}
+MF_EPOCHS=${2:-10}
+FTSF_EPOCHS=${3:-10}
+
+echo "=== stage 0: rigid flow presave (exact labels; synthetic data)"
+python -m depthinspace_tpu.tools.presave_flow --provider rigid
+
+echo "=== stage 1: DIS-SF training ($SF_EPOCHS epochs)"
+python train_val.py --architecture single_frame --cmd retrain \
+    --epochs "$SF_EPOCHS"
+
+echo "=== stage 2: presave SF disparities"
+python -m depthinspace_tpu.tools.presave_disp single_frame \
+    --epoch $((SF_EPOCHS - 1))
+
+echo "=== stage 3: DIS-MF training ($MF_EPOCHS epochs, bs 4)"
+python train_val.py --architecture multi_frame --cmd retrain \
+    --epochs "$MF_EPOCHS" --train_batch_size 4
+
+echo "=== stage 4: presave MF disparities (pseudo-GT)"
+python -m depthinspace_tpu.tools.presave_disp multi_frame \
+    --epoch $((MF_EPOCHS - 1))
+
+echo "=== stage 5: DIS-FTSF fine-tuning ($FTSF_EPOCHS epochs)"
+python train_val.py --architecture single_frame --cmd retrain \
+    --use_pseudo_gt True --epochs "$FTSF_EPOCHS"
+
+echo "=== done; metric trajectories in output/*/metrics.json"
+python - <<'EOF'
+import json, pathlib
+for arch in ("single_frame", "multi_frame"):
+    p = pathlib.Path("output") / arch / "metrics.json"
+    if not p.exists():
+        continue
+    m = json.loads(p.read_text())
+    print(f"--- {arch}")
+    for ep in sorted(m, key=int):
+        t = m[ep].get("test", {}).get("0", {})
+        if "of1" in t:
+            print(f"  epoch {ep}: dist2_mean={t['dist2_mean']:.4f} "
+                  f"o(0.5)={t['of0.5']:.4f} o(1)={t['of1']:.4f} "
+                  f"o(2)={t['of2']:.4f}")
+EOF

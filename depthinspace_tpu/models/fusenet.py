@@ -144,6 +144,14 @@ class PointConv(nn.Module):
         # per-pixel take_along_axis gathers lower to the pathologically slow
         # flat dynamic-gather fusion on this TPU stack, while the (9,36)x
         # (36,C) einsum is dense VPU/MXU work with einsum gradients
+        # precision: the contraction is an exact 0/1 selection. In f32 the
+        # HIGHEST (non-bf16-split) matmul keeps it bit-exact vs a gather
+        # oracle; in bf16 compute the selected values get truncated to bf16
+        # anyway (the weight MLP below runs in bf16), so the single-pass
+        # DEFAULT matmul is used — HIGHEST on bf16 operands would trigger
+        # the multi-pass f32-emulation for nothing.
+        sel_prec = (jax.lax.Precision.HIGHEST if dt == jnp.float32
+                    else jax.lax.Precision.DEFAULT)
         onehot = jax.nn.one_hot(idx, k2 * tl, dtype=jnp.float32)
         xyz_nb = jnp.einsum("nhwks,nhwsc->nhwkc", onehot,
                             xyz_local.astype(jnp.float32),
@@ -152,7 +160,7 @@ class PointConv(nn.Module):
         feat_nb = jnp.einsum("nhwks,nhwsc->nhwkc", onehot.astype(dt),
                              feat_p.astype(dt),
                              preferred_element_type=dt,
-                             precision=jax.lax.Precision.HIGHEST)
+                             precision=sel_prec)
 
         wgt = nn.selu(nn.Dense(self.features // 2, dtype=dt)(xyz_nb.astype(dt)))
         wgt = nn.selu(nn.Dense(self.features, dtype=dt)(wgt))   # (N,h',w',9,F)
@@ -182,12 +190,20 @@ class Block2D3D(nn.Module):
 
         def gather_warped_feat(f, fl):
             # For each target i: stack [f[i]] + [warp(f[j], fl[i, j]) for
-            # j != i] — static unroll over the (tiny) track length.
-            outs = []
-            for i in range(tl):
-                srcs = [f[i]] + [warp(f[j], fl[i, j]) for j in order[i][1:]]
-                outs.append(jnp.stack(srcs, axis=0))
-            return jnp.stack(outs, axis=0)
+            # j != i].  All tl*(tl-1) warps run as ONE batched Pallas call
+            # (identical math — warp2d is independent per batch image; the
+            # band-sparsity ranges are computed per image either way) so the
+            # launch overhead and grid pipelining amortize across pairs.
+            N = f.shape[1]
+            srcs = jnp.stack([f[j] for i in range(tl)
+                              for j in order[i][1:]], axis=0)
+            flows = jnp.stack([fl[i, j] for i in range(tl)
+                               for j in order[i][1:]], axis=0)
+            P = tl * (tl - 1)
+            w = warp(srcs.reshape(P * N, *srcs.shape[2:]),
+                     flows.reshape(P * N, *flows.shape[2:]))
+            w = w.reshape(tl, tl - 1, N, *f.shape[2:])
+            return jnp.concatenate([f[:, None], w], axis=1)
 
         # --- point-conv branch ------------------------------------------
         warped_feat = gather_warped_feat(feat, flow)   # (tl_t, tl_s, N, h, w, C)
@@ -339,26 +355,30 @@ class FuseNet(nn.Module):
         order = source_order(tl)
         # warped xyz + forward-backward masks per target
         # (reference gather_warped_xyz, :187-214; note the 0.01 factor here
-        # vs 0.02 in the losses)
-        warped_xyz = []
-        warped_mask = []
-        for i in range(tl):
-            xs = [xyz_t[i, i]]
-            ms = [jnp.ones((N, ch, cw, 1), xyz_t.dtype)]
-            for j in order[i][1:]:
-                xs.append(warp(xyz_t[i, j], core_flow[i, j]))
-                f0 = core_flow[i, j]
-                f10 = warp(core_flow[j, i], f0)
-                fb = (jnp.sum((f0 + f10) ** 2, -1)
-                      < 0.5 + 0.01 * (jnp.sum(f0 ** 2, -1)
-                                      + jnp.sum(f10 ** 2, -1)))
-                ms.append(jax.lax.stop_gradient(
-                    fb.astype(xyz_t.dtype)[..., None]))
-            warped_xyz.append(jnp.stack(xs, 0))
-            warped_mask.append(jnp.stack(ms, 0))
-        warped_xyz = jnp.stack(warped_xyz, 0)     # (tl_t, tl_s, N, ch, cw, 3)
-        warped_mask = jnp.stack(warped_mask, 0)
+        # vs 0.02 in the losses).  The tl*(tl-1) source warps run as ONE
+        # batched Pallas call; the xyz channels (3) and the reverse flow
+        # needed for the fb round-trip check (2) share it via channel concat.
+        P = tl * (tl - 1)
+        pairs = [(i, j) for i in range(tl) for j in order[i][1:]]
+        src = jnp.stack([jnp.concatenate(
+            [xyz_t[i, j], core_flow[j, i]], axis=-1) for i, j in pairs], 0)
+        fwd_flow = jnp.stack([core_flow[i, j] for i, j in pairs], 0)
+        warped = warp(src.reshape(P * N, ch, cw, 5),
+                      fwd_flow.reshape(P * N, ch, cw, 2))
+        warped = warped.reshape(tl, tl - 1, N, ch, cw, 5)
+        wxyz = warped[..., :3]
+        f10 = warped[..., 3:]
+        f0 = fwd_flow.reshape(tl, tl - 1, N, ch, cw, 2)
+        fb = (jnp.sum((f0 + f10) ** 2, -1)
+              < 0.5 + 0.01 * (jnp.sum(f0 ** 2, -1) + jnp.sum(f10 ** 2, -1)))
+        # stack position 0 is the target frame itself (identity, mask 1)
+        self_xyz = jnp.stack([xyz_t[i, i] for i in range(tl)], 0)[:, None]
+        warped_xyz = jnp.concatenate([self_xyz, wxyz], axis=1)
+        warped_mask = jnp.concatenate(
+            [jnp.ones((tl, 1, N, ch, cw, 1), xyz_t.dtype),
+             fb.astype(xyz_t.dtype)[..., None]], axis=1)
         warped_xyz = jax.lax.stop_gradient(warped_xyz)
+        warped_mask = jax.lax.stop_gradient(warped_mask)
 
         # ---------------- fusion blocks -----------------------------------
         block_cls = Block2D3D

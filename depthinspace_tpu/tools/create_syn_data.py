@@ -190,7 +190,10 @@ def create_sample(pattern_type, out_root, idx, n_samples, imsize_proj,
     d_beta = 0.0 if pattern_type == "default" else 0.35
 
     ret = {k: [] for k in ("im", "ambient", "grad", "disp", "R", "t")}
+    # pattern is pre-grayscaled once in main(); a per-sample mean over the
+    # (4096, 4096, 3) pattern costs ~13 s on this host
     pat_gray = pattern.mean(axis=2) if pattern.ndim == 3 else pattern
+    del pattern
     for _ in range(track_length):
         cam_pos = (cam_base + rng.uniform(-0.1, 0.1, 3)).astype(np.float32)
         if np.linalg.norm(cam_pos[:2]) < 1e-9:
@@ -292,9 +295,11 @@ def main(argv=None):
                            pattern=pattern_processed, baseline=baseline,
                            K=K_processed))
 
+    pat_gray = (pattern.mean(axis=2).astype(np.float32)
+                if pattern.ndim == 3 else pattern)
     for idx in range(args.start, args.n_samples):
         create_sample(args.pattern_type, out_root, idx, args.n_samples,
-                      imsize_proj, imsize, pattern, K_proj, K, K_processed,
+                      imsize_proj, imsize, pat_gray, K_proj, K, K_processed,
                       baseline, blend_im, objs)
 
 

@@ -16,12 +16,15 @@ SF_EPOCHS=${1:-30}
 MF_EPOCHS=${2:-10}
 FTSF_EPOCHS=${3:-10}
 
-echo "=== stage 0: rigid flow presave (exact labels; synthetic data)"
-python -m depthinspace_tpu.tools.presave_flow --provider rigid
+# flow: computed in-graph from GT disparity + poses (--flow_source rigid,
+# exact on the static synthetic scenes — same math as the offline rigid
+# provider, equivalence tested in tests/test_device_pipeline.py); no
+# presave stage needed.
+FLOW="--flow_source rigid"
 
 echo "=== stage 1: DIS-SF training ($SF_EPOCHS epochs)"
 python train_val.py --architecture single_frame --cmd retrain \
-    --epochs "$SF_EPOCHS"
+    --epochs "$SF_EPOCHS" $FLOW
 
 echo "=== stage 2: presave SF disparities"
 python -m depthinspace_tpu.tools.presave_disp single_frame \
@@ -29,20 +32,25 @@ python -m depthinspace_tpu.tools.presave_disp single_frame \
 
 echo "=== stage 3: DIS-MF training ($MF_EPOCHS epochs, bs 4)"
 python train_val.py --architecture multi_frame --cmd retrain \
-    --epochs "$MF_EPOCHS" --train_batch_size 4
+    --epochs "$MF_EPOCHS" --train_batch_size 4 $FLOW
 
 echo "=== stage 4: presave MF disparities (pseudo-GT)"
 python -m depthinspace_tpu.tools.presave_disp multi_frame \
     --epoch $((MF_EPOCHS - 1))
 
+# stage 5 retrains into output/single_frame (same contract as the
+# reference, model/worker.py:183) — archive the self-supervised SF run
+rm -rf output/single_frame_selfsup
+cp -r output/single_frame output/single_frame_selfsup
+
 echo "=== stage 5: DIS-FTSF fine-tuning ($FTSF_EPOCHS epochs)"
 python train_val.py --architecture single_frame --cmd retrain \
-    --use_pseudo_gt True --epochs "$FTSF_EPOCHS"
+    --use_pseudo_gt True --epochs "$FTSF_EPOCHS" $FLOW
 
 echo "=== done; metric trajectories in output/*/metrics.json"
 python - <<'EOF'
 import json, pathlib
-for arch in ("single_frame", "multi_frame"):
+for arch in ("single_frame_selfsup", "multi_frame", "single_frame"):
     p = pathlib.Path("output") / arch / "metrics.json"
     if not p.exists():
         continue

@@ -129,7 +129,11 @@ class PointConv(nn.Module):
 
         # normalized image-plane coordinates (x/z, y/z, 1)
         xyz_plane = xyz_p / (xyz_p[..., 2:] + 1e-12)
-        center = (k2 // 2) * tl                   # center pixel, target frame
+        # merged candidate order is frame-major (moveaxis(0,-3) puts tl at
+        # axis -3): s = j*k2 + k.  The center reference = target frame
+        # (stack position j=0, reference model/multi_frame_networks.py:
+        # 491-493) at the central 3x3 offset k=k2//2.
+        center = k2 // 2
         xyz_local = xyz_p - xyz_p[..., center:center + 1, :]
         plane_local = xyz_plane - xyz_plane[..., center:center + 1, :]
         dist = jnp.sum(plane_local * plane_local, axis=-1)      # (N,h',w',k2*tl)

@@ -86,16 +86,21 @@ def main():
         dt = (time.perf_counter() - t0) / n
         print(f"{name}: {dt*1e3:.1f} ms", flush=True)
 
+    # inputs must be jit *arguments*: gathers/warps on closed-over jit
+    # constants hit the pathological flat-gather lowering on this stack
+    # (CLAUDE.md), which would taint every number here.
     if "fwd" in modes:
-        fwd = jax.jit(lambda p: model.apply(p, ir, amb, pdisp, pdepth, R, t,
-                                            flow))
-        timeit("forward", fwd, params)
+        fwd = jax.jit(lambda p, ir, amb, pdisp, pdepth, R, t, flow:
+                      model.apply(p, ir, amb, pdisp, pdepth, R, t, flow))
+        timeit("forward", fwd, params, ir, amb, pdisp, pdepth, R, t, flow)
 
     if "bwd" in modes:
-        g = jax.jit(jax.grad(lambda p: jnp.sum(
-            model.apply(p, ir, amb, pdisp, pdepth, R, t, flow)
-            .astype(jnp.float32))))
-        timeit("forward+backward", g, params)
+        g = jax.jit(jax.grad(
+            lambda p, ir, amb, pdisp, pdepth, R, t, flow: jnp.sum(
+                model.apply(p, ir, amb, pdisp, pdepth, R, t, flow)
+                .astype(jnp.float32))))
+        timeit("forward+backward", g, params, ir, amb, pdisp, pdepth, R, t,
+               flow)
 
     if "loss" in modes:
         batch = Batch(im=ir[..., 1], ambient=amb[..., 0],
@@ -104,13 +109,20 @@ def main():
         outs0 = jnp.asarray(rng.uniform(1, 100, (tl, bs, H, W, 1))
                             .astype(np.float32))
 
-        def loss_only(outs):
-            total, _ = mf_losses(outs, batch, ctx, train=True,
-                                 epoch=jnp.asarray(0.0),
+        consts = (ctx.cam, ctx.pattern_lcn)
+        ctx_static = ctx._replace(cam=None, pattern_lcn=None)
+
+        def loss_only(outs, batch, consts):
+            cam, pat = consts
+            total, _ = mf_losses(outs, batch,
+                                 ctx_static._replace(cam=cam,
+                                                     pattern_lcn=pat),
+                                 train=True, epoch=jnp.asarray(0.0),
                                  rng=jax.random.key(0))
             return total
 
-        timeit("losses fwd+bwd", jax.jit(jax.grad(loss_only)), outs0)
+        timeit("losses fwd+bwd", jax.jit(jax.grad(loss_only)), outs0, batch,
+               consts)
 
 
 if __name__ == "__main__":

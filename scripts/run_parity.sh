@@ -32,7 +32,7 @@ python -m depthinspace_tpu.tools.presave_disp single_frame \
 
 echo "=== stage 3: DIS-MF training ($MF_EPOCHS epochs, bs 4)"
 python train_val.py --architecture multi_frame --cmd retrain \
-    --epochs "$MF_EPOCHS" --train_batch_size 4 $FLOW
+    --epochs "$MF_EPOCHS" --train_batch_size 4 --mf_remat false $FLOW
 
 echo "=== stage 4: presave MF disparities (pseudo-GT)"
 python -m depthinspace_tpu.tools.presave_disp multi_frame \

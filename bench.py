@@ -93,7 +93,7 @@ def bench_train(architecture, bs, n_steps):
     else:
         model = FuseNet(imsize=(H, W), K=tuple(map(tuple, K.tolist())),
                         track_length=TL, max_disp=128.0,
-                        compute_dtype=jnp.bfloat16)
+                        compute_dtype=jnp.bfloat16, use_remat=False)
         params = model.init(
             jax.random.key(0),
             zeros((TL, 1, H, W, 2)), zeros((TL, 1, H, W, 1)),

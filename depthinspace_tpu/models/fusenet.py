@@ -72,31 +72,101 @@ def source_order(track_length: int) -> np.ndarray:
 
 
 def _extract_patches(x: jax.Array, ksize: int, stride: int) -> jax.Array:
-    """x: (..., h, w, C) -> (..., h', w', ksize*ksize, C) via static strided
-    slices over a zero-padded input (zero padding matches the reference's
-    constant-0 pad, model/multi_frame_networks.py:472-474)."""
+    """x: (..., h, w, C) -> (..., h', w', ksize*ksize, C), zero padding
+    (matches the reference's constant-0 pad, model/multi_frame_networks.py:
+    472-474).
+
+    Lowered as an identity-kernel convolution
+    (``lax.conv_general_dilated_patches``): a stack of strided slices looks
+    equivalent but XLA lowers the stride-2 variant to serialized kCustom
+    gather fusions (~10.7 ms each at (16,256,216,32) — 36 of them cost
+    ~380 ms/step); the conv form is dense window work with a conv-transpose
+    backward.  Values are bit-exact either way (0/1 kernel) — but only at
+    the right precision: the TPU's DEFAULT conv path truncates f32 operands
+    to bf16, which perturbs the f32 xyz patches enough to flip near-tie
+    neighbor selections; HIGHEST (3-pass f32 emulation) is exact, and for
+    bf16 features DEFAULT already passes values through unchanged."""
     p = (ksize - 1) // 2
     *lead, h, w, c = x.shape
-    pad = [(0, 0)] * len(lead) + [(p, p), (p, p), (0, 0)]
-    xp = jnp.pad(x, pad)
-    ho = (h - 1) // stride + 1
-    wo = (w - 1) // stride + 1
-    pats = []
-    for dy in range(ksize):
-        for dx in range(ksize):
-            pats.append(xp[..., dy:dy + (ho - 1) * stride + 1:stride,
-                           dx:dx + (wo - 1) * stride + 1:stride, :])
-    return jnp.stack(pats, axis=-2)
+    flat = x.reshape(-1, h, w, c)
+    prec = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    out = jax.lax.conv_general_dilated_patches(
+        flat, (ksize, ksize), (stride, stride), ((p, p), (p, p)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=prec)
+    ho, wo = out.shape[1:3]
+    # patch channels come out c-major (c*ksize^2 + tap_raster)
+    out = out.reshape(*lead, ho, wo, c, ksize * ksize)
+    return jnp.moveaxis(out, -2, -1)
+
+
+def _merged_patches(v, ksize, stride):
+    """(tl, N, h, w, C) -> (N, h', w', k2*tl, C): 3x3 spatial offsets x tl
+    source frames merged frame-major (s = j*k2 + k)."""
+    p = _extract_patches(v, ksize, stride)
+    p = jnp.moveaxis(p, 0, -3)                # (N, h', w', k2, tl, C)
+    return p.reshape(*p.shape[:3], p.shape[-3] * p.shape[-2], p.shape[-1])
+
+
+def pointconv_select(xyz, mask, neighbors=9, ksize=3, stride=1):
+    """Candidate selection for :class:`PointConv`.
+
+    For every output location, gather the 3x3 x tl spatio-temporal candidate
+    points and pick the ``neighbors`` nearest in normalized image-plane
+    distance (masked candidates pushed past the global max).
+
+    The selection depends only on the warped geometry (xyz, mask) — which is
+    ``stop_gradient``-fixed for the whole forward pass — so FuseNet computes
+    it ONCE per scale and shares it across all fusion blocks (the reference
+    re-runs unfold/topk inside every block, model/multi_frame_networks.py:
+    469-511; hoisting is bit-identical and removes ~3/4 of the sort work
+    plus all of its remat recomputation).
+
+    xyz: (tl, N, h, w, 3) in the target camera frame (stack position 0 =
+    target); mask: (tl, N, h, w, 1).  Selection runs in f32 — bf16 distance
+    ties would reorder neighbors.
+
+    Returns (idx, xyz_nb): idx (N, h', w', k) int32 indices into the merged
+    frame-major candidate axis; xyz_nb (N, h', w', k, 3) f32 center-relative
+    xyz of the selected neighbors.
+    """
+    tl = xyz.shape[0]
+    k2 = ksize * ksize
+
+    xyz_p = _merged_patches(xyz, ksize, stride)
+    mask_p = _merged_patches(mask, ksize, stride)
+
+    # normalized image-plane coordinates (x/z, y/z, 1)
+    xyz_plane = xyz_p / (xyz_p[..., 2:] + 1e-12)
+    # The center reference = target frame (stack position j=0, reference
+    # model/multi_frame_networks.py:491-493) at the central 3x3 offset.
+    center = k2 // 2
+    xyz_local = xyz_p - xyz_p[..., center:center + 1, :]
+    plane_local = xyz_plane - xyz_plane[..., center:center + 1, :]
+    dist = jnp.sum(plane_local * plane_local, axis=-1)      # (N,h',w',k2*tl)
+
+    # push masked-out candidates beyond the global max so top_k skips them
+    m = mask_p[..., 0].astype(jnp.float32)
+    dist = dist.astype(jnp.float32)
+    dist_masked = m * dist + (1.0 - m) * (jnp.max(dist) + 1.0)
+    _, idx = jax.lax.top_k(-dist_masked, neighbors)         # k smallest
+
+    onehot = jax.nn.one_hot(idx, k2 * tl, dtype=jnp.float32)
+    xyz_nb = jnp.einsum("nhwks,nhwsc->nhwkc", onehot,
+                        xyz_local.astype(jnp.float32),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+    return idx, xyz_nb
 
 
 class PointConv(nn.Module):
     """Continuous kNN convolution over warped 3D point clouds.
 
     Redesign of the reference ``Conv3D`` (model/multi_frame_networks.py:
-    432-512): for every output location, gather the 3x3 x tl spatio-temporal
-    candidate points, pick the 9 nearest in normalized image-plane distance
-    (masked), run an MLP on the relative xyz to produce per-neighbor weights,
-    and take the weighted feature sum through a linear map + SELU + GroupNorm.
+    432-512): with the neighbor selection precomputed by
+    :func:`pointconv_select`, run an MLP on the relative xyz to produce
+    per-neighbor weights and take the weighted feature sum through a linear
+    map + SELU + GroupNorm.
     """
     features: int
     neighbors: int = 9
@@ -105,44 +175,15 @@ class PointConv(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, xyz, feat, mask):
-        """xyz: (tl, N, h, w, 3) in the target camera frame (stack position 0
-        = target); feat: (tl, N, h, w, C); mask: (tl, N, h, w, 1).
-        Returns (N, h', w', features).
-
-        Mixed precision: the neighbor *selection* (plane distances, top_k)
-        always runs in f32 — bf16 distance ties would reorder neighbors —
-        while the weight MLP and feature contraction run in ``dtype``."""
-        tl = xyz.shape[0]
+    def __call__(self, feat, idx, xyz_nb):
+        """feat: (tl, N, h, w, C) (stack position 0 = target); idx/xyz_nb
+        from :func:`pointconv_select` at the matching ksize/stride.
+        Returns (N, h', w', features)."""
+        tl = feat.shape[0]
         k2 = self.ksize * self.ksize
         dt = self.dtype
 
-        def pats(v):
-            # (tl, N, h, w, C) -> (N, h', w', k2, tl, C) -> (N,h',w',k2*tl,C)
-            p = _extract_patches(v, self.ksize, self.stride)
-            p = jnp.moveaxis(p, 0, -3)            # (N, h', w', k2, tl, C)
-            return p.reshape(*p.shape[:3], k2 * tl, p.shape[-1])
-
-        xyz_p = pats(xyz)
-        feat_p = pats(feat)
-        mask_p = pats(mask)
-
-        # normalized image-plane coordinates (x/z, y/z, 1)
-        xyz_plane = xyz_p / (xyz_p[..., 2:] + 1e-12)
-        # merged candidate order is frame-major (moveaxis(0,-3) puts tl at
-        # axis -3): s = j*k2 + k.  The center reference = target frame
-        # (stack position j=0, reference model/multi_frame_networks.py:
-        # 491-493) at the central 3x3 offset k=k2//2.
-        center = k2 // 2
-        xyz_local = xyz_p - xyz_p[..., center:center + 1, :]
-        plane_local = xyz_plane - xyz_plane[..., center:center + 1, :]
-        dist = jnp.sum(plane_local * plane_local, axis=-1)      # (N,h',w',k2*tl)
-
-        # push masked-out candidates beyond the global max so top_k skips them
-        m = mask_p[..., 0].astype(jnp.float32)
-        dist = dist.astype(jnp.float32)
-        dist_masked = m * dist + (1.0 - m) * (jnp.max(dist) + 1.0)
-        _, idx = jax.lax.top_k(-dist_masked, self.neighbors)    # 9 smallest
+        feat_p = _merged_patches(feat, self.ksize, self.stride)
 
         # neighbor gather as a one-hot contraction over the 36 candidates:
         # per-pixel take_along_axis gathers lower to the pathologically slow
@@ -156,12 +197,8 @@ class PointConv(nn.Module):
         # the multi-pass f32-emulation for nothing.
         sel_prec = (jax.lax.Precision.HIGHEST if dt == jnp.float32
                     else jax.lax.Precision.DEFAULT)
-        onehot = jax.nn.one_hot(idx, k2 * tl, dtype=jnp.float32)
-        xyz_nb = jnp.einsum("nhwks,nhwsc->nhwkc", onehot,
-                            xyz_local.astype(jnp.float32),
-                            preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
-        feat_nb = jnp.einsum("nhwks,nhwsc->nhwkc", onehot.astype(dt),
+        onehot = jax.nn.one_hot(idx, k2 * tl, dtype=dt)
+        feat_nb = jnp.einsum("nhwks,nhwsc->nhwkc", onehot,
                              feat_p.astype(dt),
                              preferred_element_type=dt,
                              precision=sel_prec)
@@ -185,9 +222,13 @@ class Block2D3D(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, feat, warped_xyz, warped_mask, flow):
-        """feat: (tl, N, h, w, C); warped_xyz: (tl_t, tl_s, N, h, w, 3);
-        warped_mask: (tl_t, tl_s, N, h, w, 1); flow: (tl, tl, N, h, w, 2)."""
+    def __call__(self, feat, flow, flow_half, sel1, sel2, merge_w):
+        """feat: (tl, N, h, w, C); flow: (tl, tl, N, h, w, 2); flow_half:
+        same at (h/2, w/2); sel1/sel2: per-target (idx, xyz_nb) pairs from
+        :func:`pointconv_select` at stride 2 (full-res candidates) and
+        stride 1 (half-res); merge_w: (tl_t, tl_s, N, h, w, 1) mask-merge
+        weights for the 2D branch.  All of these are identical across the
+        fusion blocks and precomputed once by FuseNet."""
         tl = self.track_length
         dt = self.dtype
         order = source_order(tl)
@@ -216,25 +257,20 @@ class Block2D3D(nn.Module):
         Pc1 = nn.vmap(PointConv, in_axes=(0, 0, 0), out_axes=0,
                       variable_axes={"params": None}, split_rngs={"params": False})
         out3d_1 = Pc1(self.features, stride=2, dtype=dt, name="conv3d_1")(
-            warped_xyz, warped_feat, warped_mask)          # (tl, N, h/2, w/2, C)
+            warped_feat, *sel1)                            # (tl, N, h/2, w/2, C)
 
         # second point conv at the coarser scale
         h2, w2 = out3d_1.shape[2], out3d_1.shape[3]
-        flow_half = _resize_flow_grid(flow, h2, w2)
-        xyz_half = _resize_leading(warped_xyz, h2, w2)
-        mask_half = (_resize_leading(warped_mask, h2, w2) > 0.5).astype(
-            warped_mask.dtype)
         warped_feat2 = gather_warped_feat(out3d_1, flow_half)
         Pc2 = nn.vmap(PointConv, in_axes=(0, 0, 0), out_axes=0,
                       variable_axes={"params": None}, split_rngs={"params": False})
         out3d_2 = Pc2(self.features, stride=1, dtype=dt, name="conv3d_2")(
-            xyz_half, warped_feat2, mask_half)             # (tl, N, h/2, w/2, C)
+            warped_feat2, *sel2)                           # (tl, N, h/2, w/2, C)
 
         # --- 2D branch ---------------------------------------------------
         # mask-weighted merge of the warped feature stack
         # (reference fwd_2d, :406-430)
-        mmean = jnp.mean(warped_mask, axis=1, keepdims=True)
-        wf = warped_feat * (warped_mask / mmean).astype(warped_feat.dtype)
+        wf = warped_feat * merge_w.astype(warped_feat.dtype)
         tl_t, tl_s, N, h, w, C = wf.shape
         wf = jnp.moveaxis(wf, 1, -2).reshape(tl_t * N, h, w, tl_s * C)
 
@@ -385,13 +421,30 @@ class FuseNet(nn.Module):
         warped_mask = jax.lax.stop_gradient(warped_mask)
 
         # ---------------- fusion blocks -----------------------------------
+        # Everything that depends only on the (stop-gradient) warped geometry
+        # is identical across the blocks — compute it once here instead of
+        # inside every block (and every remat recompute): the point-conv
+        # neighbor selections at both scales, the half-res flow grid, and the
+        # 2D-branch mask-merge weights.
+        sel1 = jax.vmap(lambda x, m: pointconv_select(x, m, stride=2))(
+            warped_xyz, warped_mask)
+        h2, w2 = ch // 2, cw // 2
+        flow_half = _resize_flow_grid(core_flow, h2, w2)
+        xyz_half = _resize_leading(warped_xyz, h2, w2)
+        mask_half = (_resize_leading(warped_mask, h2, w2) > 0.5).astype(
+            warped_mask.dtype)
+        sel2 = jax.vmap(lambda x, m: pointconv_select(x, m, stride=1))(
+            xyz_half, mask_half)
+        merge_w = warped_mask / jnp.mean(warped_mask, axis=1, keepdims=True)
+
         block_cls = Block2D3D
         if self.use_remat:
             block_cls = nn.remat(Block2D3D, static_argnums=())
         for b in range(self.block_num):
             core_feat = block_cls(C, self.track_length, dtype=dt,
-                                  name=f"block{b}")(core_feat, warped_xyz,
-                                                    warped_mask, core_flow)
+                                  name=f"block{b}")(core_feat, core_flow,
+                                                    flow_half, sel1, sel2,
+                                                    merge_w)
 
         # ---------------- decoder (post_process, reference :229-267) ------
         feat = core_feat.reshape(tl * N, ch, cw, C)

@@ -125,3 +125,26 @@ def test_sharded_step_matches_single_device(arch):
         # atol floor: bias gradients are near-cancelling sums over batch and
         # space, so an 8-way split reassociation shifts them by O(1e-6) abs.
         np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-6)
+
+
+def test_multihost_single_process_path():
+    """put_batch_global on one process == put_batch; bounds cover the batch."""
+    from depthinspace_tpu.parallel import (init_multihost, is_primary,
+                                           process_batch_bounds,
+                                           put_batch_global)
+    init_multihost()          # no cluster env -> must be a no-op
+    assert is_primary()
+    lo, hi = process_batch_bounds(BS)
+    assert (lo, hi) == (0, BS)
+
+    mesh = make_mesh()
+    b = _batch(with_primary=True)
+    via_global = put_batch_global(b, mesh, global_batch_size=BS)
+    via_local = put_batch(b, mesh)
+    for k in Batch._fields:
+        g, l = getattr(via_global, k), getattr(via_local, k)
+        if g is None:
+            assert l is None
+            continue
+        assert g.sharding == l.sharding, k
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(l))

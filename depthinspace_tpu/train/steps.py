@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import optax
 
 from ..data.dataset import Batch
+from ..data.wire import decode_batch
 from .objective import (LossContext, sf_losses, mf_losses, preprocess_images,
                         augment_batch_device, rigid_flow_device)
 from .state import TrainState
@@ -73,7 +74,8 @@ def _make_step_fns(model, ctx: LossContext,
         return batch
 
     def train_step(state: TrainState, batch: Batch, epoch, consts):
-        cam, pattern_lcn = consts
+        batch = decode_batch(batch)      # 16-bit wire fields -> f32 (no-op
+        cam, pattern_lcn = consts        # for f32 inputs; see data/wire.py)
         ctx_full = static_ctx._replace(cam=cam, pattern_lcn=pattern_lcn)
         rng, step_rng, aug_rng = jax.random.split(state.rng, 3)
         if ctx.augment:
@@ -96,6 +98,7 @@ def _make_step_fns(model, ctx: LossContext,
         return new_state, comps
 
     def eval_step(params, batch: Batch, epoch, consts):
+        batch = decode_batch(batch)
         cam, pattern_lcn = consts
         ctx_full = static_ctx._replace(cam=cam, pattern_lcn=pattern_lcn)
         batch = _prepare(batch, ctx_full)

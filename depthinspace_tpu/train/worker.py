@@ -36,6 +36,7 @@ from ..config import RunConfig
 from ..data import TrackDataset, DataLoader, load_settings
 from ..models import DispNet, FuseNet
 from ..parallel import make_mesh, put_batch, pad_batch, replicated
+from ..data.wire import encode_batch, decode_batch_np
 from ..utils import metric as metric_lib
 from ..utils.gtimer import StopWatch, ETA
 from ..utils.jaxcfg import enable_compilation_cache
@@ -252,7 +253,7 @@ class Worker:
         for batch_idx, batch in enumerate(loader):
             if 0 < self.cfg.max_train_iter <= batch_idx:
                 break
-            batch = put_batch(batch, self.mesh)
+            batch = put_batch(encode_batch(batch), self.mesh)
             sw.stop("data")
             sw.start("step")
             state, comps = self.train_step(state, batch, epoch_arr)
@@ -323,7 +324,7 @@ class Worker:
         n = 0
         for batch_idx, host_batch in enumerate(loader):
             padded, n_valid = pad_batch(host_batch, self.mesh_size)
-            batch = put_batch(padded, self.mesh)
+            batch = put_batch(encode_batch(padded), self.mesh)
             disp0, comps = self.eval_step(params, batch, epoch_arr)
 
             es = np.asarray(disp0)[:, :n_valid]
@@ -376,6 +377,7 @@ class Worker:
         import matplotlib.pyplot as plt
         from ..utils import cmap
 
+        host_batch = decode_batch_np(host_batch)   # 16-bit wire -> f32
         gt = host_batch.disp_gt.astype(np.float32)
         im = host_batch.im
         amb = host_batch.ambient

@@ -78,6 +78,7 @@ class RunConfig:
             max_disp=float(args.max_disp),
             track_length=args.track_length,
             train_batch_size=args.train_batch_size,
+            test_batch_size=getattr(args, "test_batch_size", 4),
             use_pseudo_gt=args.use_pseudo_gt,
             mf_dtype=getattr(args, "mf_dtype", "bfloat16"),
             mf_remat=getattr(args, "mf_remat", False),

@@ -51,6 +51,14 @@ def encode_batch(batch: Batch) -> Batch:
     return Batch(**out)
 
 
+def decode_disp_np(disp) -> np.ndarray:
+    """Decode a u16-encoded disparity map from eval_step (f32 passthrough)."""
+    disp = np.asarray(disp)
+    if disp.dtype == np.uint16:
+        return disp.astype(np.float32) * (1.0 / _DISP_SCALE)
+    return disp.astype(np.float32)
+
+
 def decode_batch_np(batch: Batch) -> Batch:
     """Host-side decode (numpy) for debug/visualization paths that receive
     an encoded (possibly device-resident) batch."""

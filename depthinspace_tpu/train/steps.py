@@ -105,7 +105,12 @@ def _make_step_fns(model, ctx: LossContext,
         outs = forward(model, params, batch, ctx_full)
         _, comps = losses(outs, batch, ctx_full, train=False, epoch=epoch,
                           rng=jax.random.key(0))
-        return take_disp0(outs, batch), comps
+        # disparities travel device->host as u16 x256 fixed point (1/256 px,
+        # far below metric thresholds) — D2H rides the same slow tunnel as
+        # H2D (data/wire.py); callers decode with wire.decode_disp_np
+        disp = take_disp0(outs, batch)
+        disp_u16 = jnp.clip(disp * 256.0 + 0.5, 0, 65535).astype(jnp.uint16)
+        return disp_u16, comps
 
     return train_step, eval_step, consts
 

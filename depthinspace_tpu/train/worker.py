@@ -36,7 +36,7 @@ from ..config import RunConfig
 from ..data import TrackDataset, DataLoader, load_settings
 from ..models import DispNet, FuseNet
 from ..parallel import make_mesh, put_batch, pad_batch, replicated
-from ..data.wire import encode_batch, decode_batch_np
+from ..data.wire import encode_batch, decode_batch_np, decode_disp_np
 from ..utils import metric as metric_lib
 from ..utils.gtimer import StopWatch, ETA
 from ..utils.jaxcfg import enable_compilation_cache
@@ -241,7 +241,8 @@ class Worker:
         logging.info(f"Train epoch {epoch}")
         dset.current_epoch = epoch
         loader = DataLoader(dset, self.cfg.train_batch_size, shuffle=True,
-                            num_workers=self.cfg.num_workers, drop_last=True)
+                            num_workers=self.cfg.num_workers, drop_last=True,
+                            transform=encode_batch)
         n_batches = len(loader)
         bar = ETA(length=n_batches)
         epoch_arr = jnp.asarray(epoch, jnp.float32)
@@ -253,7 +254,7 @@ class Worker:
         for batch_idx, batch in enumerate(loader):
             if 0 < self.cfg.max_train_iter <= batch_idx:
                 break
-            batch = put_batch(encode_batch(batch), self.mesh)
+            batch = put_batch(batch, self.mesh)     # loader pre-encoded
             sw.stop("data")
             sw.start("step")
             state, comps = self.train_step(state, batch, epoch_arr)
@@ -294,7 +295,7 @@ class Worker:
                                           jnp.asarray(epoch, jnp.float32))
                 self.write_debug_image(
                     self.exp_dir / f"train_{epoch:03d}_{batch_idx:04d}.png",
-                    np.asarray(disp0), batch)
+                    decode_disp_np(disp0), batch)
             except Exception as e:      # debug images must never kill a run
                 logging.warning(f"debug image failed: {e}")
 
@@ -312,7 +313,8 @@ class Worker:
     def test_epoch(self, epoch, set_idx, params, dset):
         dset.current_epoch = epoch
         loader = DataLoader(dset, self.cfg.test_batch_size, shuffle=False,
-                            num_workers=self.cfg.num_workers, drop_last=False)
+                            num_workers=self.cfg.num_workers, drop_last=False,
+                            transform=encode_batch)
         bar = ETA(length=len(loader))
         epoch_arr = jnp.asarray(epoch, jnp.float32)
 
@@ -324,11 +326,12 @@ class Worker:
         n = 0
         for batch_idx, host_batch in enumerate(loader):
             padded, n_valid = pad_batch(host_batch, self.mesh_size)
-            batch = put_batch(encode_batch(padded), self.mesh)
+            batch = put_batch(padded, self.mesh)    # loader pre-encoded
             disp0, comps = self.eval_step(params, batch, epoch_arr)
 
-            es = np.asarray(disp0)[:, :n_valid]
-            gt = host_batch.disp_gt.astype(np.float32)
+            es = decode_disp_np(disp0)[:, :n_valid]
+            # loader delivers the wire-encoded batch; metrics need f32 GT
+            gt = decode_batch_np(host_batch).disp_gt
             es = es * (gt > 0)
             met.add(es.reshape(-1, 1), gt.reshape(-1, 1))
 

@@ -54,6 +54,10 @@ def parse_args(argv=None):
                         default=True, type=str2bool)
     parser.add_argument("--test_frequency",
                         help="Evaluate every N epochs", default=1, type=int)
+    parser.add_argument("--test_batch_size",
+                        help="Eval batch size (larger amortizes the "
+                             "host<->device round trip per batch)",
+                        default=4, type=int)
     parser.add_argument("--flow_source", default="file",
                         choices=["file", "rigid"],
                         help="file: flow.hdf5 from any presave provider; "

@@ -21,10 +21,12 @@ FTSF_EPOCHS=${3:-10}
 # provider, equivalence tested in tests/test_device_pipeline.py); no
 # presave stage needed.
 FLOW="--flow_source rigid"
+# eval: big batches amortize the tunnel round trip (metrics identical)
+EVAL="--test_batch_size 16 --test_frequency 2"
 
 echo "=== stage 1: DIS-SF training ($SF_EPOCHS epochs)"
 python train_val.py --architecture single_frame --cmd retrain \
-    --epochs "$SF_EPOCHS" $FLOW
+    --epochs "$SF_EPOCHS" $FLOW $EVAL
 
 echo "=== stage 2: presave SF disparities"
 python -m depthinspace_tpu.tools.presave_disp single_frame \
@@ -32,7 +34,7 @@ python -m depthinspace_tpu.tools.presave_disp single_frame \
 
 echo "=== stage 3: DIS-MF training ($MF_EPOCHS epochs, bs 4)"
 python train_val.py --architecture multi_frame --cmd retrain \
-    --epochs "$MF_EPOCHS" --train_batch_size 4 --mf_remat false $FLOW
+    --epochs "$MF_EPOCHS" --train_batch_size 4 --mf_remat false $FLOW $EVAL
 
 echo "=== stage 4: presave MF disparities (pseudo-GT)"
 python -m depthinspace_tpu.tools.presave_disp multi_frame \
@@ -45,7 +47,7 @@ cp -r output/single_frame output/single_frame_selfsup
 
 echo "=== stage 5: DIS-FTSF fine-tuning ($FTSF_EPOCHS epochs)"
 python train_val.py --architecture single_frame --cmd retrain \
-    --use_pseudo_gt True --epochs "$FTSF_EPOCHS" $FLOW
+    --use_pseudo_gt True --epochs "$FTSF_EPOCHS" $FLOW $EVAL
 
 echo "=== done; metric trajectories in output/*/metrics.json"
 python - <<'EOF'

@@ -80,8 +80,10 @@ def test_stage2_mf_train_step(pipeline_dir):
     assert comps.shape[0] == 4  # photometric, smooth, geometric, warmup
 
     disp0, _ = eval_step(state.params, batch, jnp.asarray(0.0))
-    # write the multi_frame_disp.hdf5 hand-off for stage 3
-    disp0 = np.asarray(disp0)
+    # write the multi_frame_disp.hdf5 hand-off for stage 3 (eval_step
+    # returns the u16 wire encoding)
+    from depthinspace_tpu.data.wire import decode_disp_np
+    disp0 = decode_disp_np(disp0)
     for i, sample in enumerate(sorted(pipeline_dir.glob("0*"))):
         with h5py.File(sample / "multi_frame_disp.hdf5", "w") as f:
             f.create_dataset("disp", data=disp0[:, i][:, None])

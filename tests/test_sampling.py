@@ -78,3 +78,31 @@ def test_resize_flow_scales_values():
     # corners are exactly scaled original values (align_corners=True)
     np.testing.assert_allclose(out[:, 0, 0, 0], flow[:, 0, 0, 0] * 2, rtol=1e-5)
     np.testing.assert_allclose(out[:, 0, 0, 1], flow[:, 0, 0, 1] * 2, rtol=1e-5)
+
+
+def test_warp2d_v2_matches_oracle_interpret():
+    """warp2d_v2 (channel-blocked DMA kernel) vs the jnp gather oracle and
+    the v1 adjoint, in TPU interpret mode on CPU (tiny shapes)."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+    from depthinspace_tpu.ops.sampling import warp as warp_oracle
+    from depthinspace_tpu.ops.pallas.warp_kernel import warp2d
+    from depthinspace_tpu.ops.pallas.warp2d_v2 import warp2d_v2
+
+    M, H, W, C = 2, 16, 12, 4
+    rng = np.random.RandomState(3)
+    img = jnp.asarray(rng.rand(M, H, W, C).astype(np.float32))
+    flow = jnp.asarray(rng.uniform(-5, 5, (M, H, W, 2)).astype(np.float32))
+    g = jnp.asarray(rng.rand(M, H, W, C).astype(np.float32))
+
+    with pltpu.force_tpu_interpret_mode():
+        ref = jax.jit(lambda i, f: warp_oracle(i, f, padding="zeros"))(
+            img, flow)
+        out = jax.jit(lambda i, f: warp2d_v2(i, f, 16))(img, flow)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+        _, vjp2 = jax.vjp(lambda i: warp2d_v2(i, flow, 16), img)
+        _, vjp1 = jax.vjp(lambda i: warp2d(i, flow, 16), img)
+        np.testing.assert_allclose(np.asarray(vjp2(g)[0]),
+                                   np.asarray(vjp1(g)[0]),
+                                   rtol=1e-5, atol=1e-5)

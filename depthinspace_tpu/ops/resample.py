@@ -41,7 +41,13 @@ def flow_warp(x: jax.Array, flow: jax.Array, max_shift: int = 16) -> jax.Array:
     no flow gradient is produced (see ops/pallas/warp_kernel.warp2d)."""
     flow = jax.lax.stop_gradient(flow)
     if _on_tpu() and x.shape[1] % 8 == 0:
-        from .pallas.warp_kernel import warp2d
+        import os
+        if os.environ.get("DIS_WARP_V2") == "1":
+            # channel-blocked in-kernel-DMA variant (ops/pallas/warp2d_v2);
+            # opt-in until its clean-chip benchmark decides the default
+            from .pallas.warp2d_v2 import warp2d_v2 as warp2d
+        else:
+            from .pallas.warp_kernel import warp2d
         if x.dtype != jnp.float32:
             # the Pallas kernels are f32; round-trip the values but keep the
             # caller's compute dtype (bf16 FuseNet feature warps)

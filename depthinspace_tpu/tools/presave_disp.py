@@ -1,7 +1,8 @@
 """Pre-save network disparities for the staged training pipeline.
 
   python -m depthinspace_tpu.tools.presave_disp single_frame --epoch 49
-  python -m depthinspace_tpu.tools.presave_disp multi_frame  --epoch 49
+  python -m depthinspace_tpu.tools.presave_disp multi_frame  --epoch 49 \\
+      [--flow_source rigid]
 
 Runs a trained network over every sample directory and writes
 ``<sample>/<architecture>_disp.hdf5`` with dataset 'disp' of shape
@@ -9,12 +10,19 @@ Runs a trained network over every sample directory and writes
 (single_frame_disp.hdf5) and DIS-FTSF pseudo-ground-truth
 (multi_frame_disp.hdf5). Mirrors the reference tool's I/O contract
 (reference data/presave_disp.py:41-117) with a jitted inference step.
+
+Throughput notes (the tunnel's host<->device bandwidth bounds this tool,
+data/wire.py): samples are processed in batches of ``--batch`` per jit
+call, images/disparities cross as uint16 fixed point both ways, and with
+``--flow_source rigid`` the (tl,tl,H,W,2) flow block is computed in-graph
+from GT disparity + poses (exact on static synthetic scenes) instead of
+being read from flow.hdf5 and shipped — required for pipelines trained
+with ``--flow_source rigid``, where no flow.hdf5 exists.
 """
 
 from __future__ import annotations
 
 import argparse
-import os
 from pathlib import Path
 
 import numpy as np
@@ -23,6 +31,14 @@ import h5py
 from ..config import load_paths
 from ..data import load_settings
 from ..utils.jaxcfg import enable_compilation_cache
+
+
+def _enc_unit(x):
+    return np.clip(x * 65535.0 + 0.5, 0, 65535).astype(np.uint16)
+
+
+def _enc_disp(x):
+    return np.clip(x * 256.0 + 0.5, 0, 65535).astype(np.uint16)
 
 
 def build_sf_infer(settings, lcn_radius=5):
@@ -36,26 +52,32 @@ def build_sf_infer(settings, lcn_radius=5):
     template = model.init(jax.random.key(0), jnp.zeros((1, H, W, 2)))
 
     @jax.jit
-    def infer(params, im):
-        """im: (N, H, W) raw IR -> (N, H, W) full-res disparity."""
+    def infer(params, im_u16):
+        """im_u16: (N, H, W) x65535 -> (N, H, W) u16 disparity x256."""
+        im = im_u16.astype(jnp.float32) * (1.0 / 65535.0)
         im_lcn, _ = lcn(im, lcn_radius, 0.05)
         net_in = jnp.stack([im_lcn, im], axis=-1)
-        return model.apply(params, net_in)[0][..., 0]
+        disp = model.apply(params, net_in)[0][..., 0]
+        return jnp.clip(disp * 256.0 + 0.5, 0, 65535).astype(jnp.uint16)
 
     return template, infer
 
 
-def build_mf_infer(settings, track_length=4, lcn_radius=5):
+def build_mf_infer(settings, track_length=4, lcn_radius=5,
+                   flow_source="file"):
     import jax
     import jax.numpy as jnp
     from ..models import FuseNet
     from ..ops import lcn, disp_to_depth
+    from ..train.objective import rigid_flow_device
+    from ..losses.geometric import CameraGeometry
 
     H, W = settings.imsize
     K = tuple(map(tuple, settings.K.tolist()))
     model = FuseNet(imsize=(H, W), K=K, track_length=track_length,
                     max_disp=128.0)
     tl = track_length
+    cam = CameraGeometry.create(settings.K, H, W)
     z = jnp.zeros
     template = model.init(
         jax.random.key(0), z((tl, 1, H, W, 2)), z((tl, 1, H, W, 1)),
@@ -63,19 +85,71 @@ def build_mf_infer(settings, track_length=4, lcn_radius=5):
         jnp.broadcast_to(jnp.eye(3), (tl, 1, 3, 3)), z((tl, 1, 3)),
         z((tl, tl, 1, H, W, 2)))
 
-    @jax.jit
-    def infer(params, im, amb, primary_disp, R, t, flow):
-        """im/amb/primary_disp: (tl, H, W); R: (tl,3,3); t: (tl,3);
-        flow: (tl, tl, H, W, 2) -> (tl, H, W) fused disparity."""
-        im_lcn, _ = lcn(im, lcn_radius, 0.05)
-        ir = jnp.stack([im_lcn, im], axis=-1)[:, None]      # (tl,1,H,W,2)
-        pd = primary_disp[:, None, :, :, None]
+    def _core(params, cam_, im, amb, primary, R, t, flow):
+        im_lcn, _ = lcn(im.reshape(tl * im.shape[1], H, W), lcn_radius, 0.05)
+        im_lcn = im_lcn.reshape(im.shape)
+        ir = jnp.stack([im_lcn, im], axis=-1)               # (tl,N,H,W,2)
+        pd = primary[..., None]
         pdepth = disp_to_depth(pd, settings.focal_length, settings.baseline)
-        out = model.apply(params, ir, amb[:, None, :, :, None], pd, pdepth,
-                          R[:, None], t[:, None], flow[:, :, None])
-        return out[:, 0, :, :, 0]
+        out = model.apply(params, ir, amb[..., None], pd, pdepth, R, t, flow)
+        return jnp.clip(out[..., 0] * 256.0 + 0.5, 0, 65535).astype(
+            jnp.uint16)
 
-    return template, infer
+    if flow_source == "rigid":
+        @jax.jit
+        def infer(params, cam_, im_u16, amb_u16, primary_u16, dispgt_u16,
+                  R, t):
+            """All image args (tl, N, H, W) u16; flow computed in-graph."""
+            s = jnp.float32
+            im = im_u16.astype(s) * (1.0 / 65535.0)
+            amb = amb_u16.astype(s) * (1.0 / 65535.0)
+            primary = primary_u16.astype(s) * (1.0 / 256.0)
+            disp_gt = dispgt_u16.astype(s) * (1.0 / 256.0)
+            flow = rigid_flow_device(cam_, disp_gt, R, t,
+                                     settings.focal_length,
+                                     settings.baseline)
+            return _core(params, cam_, im, amb, primary, R, t, flow)
+    else:
+        @jax.jit
+        def infer(params, cam_, im_u16, amb_u16, primary_u16, flow_i16,
+                  R, t):
+            """flow_i16: (tl, tl, N, H, W, 2) int16 x256."""
+            s = jnp.float32
+            im = im_u16.astype(s) * (1.0 / 65535.0)
+            amb = amb_u16.astype(s) * (1.0 / 65535.0)
+            primary = primary_u16.astype(s) * (1.0 / 256.0)
+            flow = flow_i16.astype(s) * (1.0 / 256.0)
+            return _core(params, cam_, im, amb, primary, R, t, flow)
+
+    return template, infer, cam
+
+
+def _read_sample(sample: Path, architecture: str, flow_source: str):
+    out = {}
+    with h5py.File(sample / "frames.hdf5", "r") as f:
+        out["im"] = _enc_unit(np.asarray(f["im"][:, 0], np.float32))
+        if architecture == "multi_frame":
+            out["amb"] = _enc_unit(np.asarray(f["ambient"][:, 0], np.float32))
+            out["R"] = np.asarray(f["R"], np.float32)
+            out["t"] = np.asarray(f["t"], np.float32)
+            if flow_source == "rigid":
+                out["disp_gt"] = _enc_disp(
+                    np.asarray(f["disp"][:, 0], np.float32))
+    if architecture == "multi_frame":
+        with h5py.File(sample / "single_frame_disp.hdf5", "r") as f:
+            out["primary"] = _enc_disp(np.asarray(f["disp"][:, 0], np.float32))
+        if flow_source == "file":
+            tl, (H, W) = 4, out["im"].shape[1:]
+            flow = np.zeros((tl, tl, H, W, 2), np.float32)
+            with h5py.File(sample / "flow.hdf5", "r") as f:
+                for i0 in range(tl):
+                    for i1 in range(tl):
+                        if i0 != i1:
+                            flow[i0, i1] = np.moveaxis(
+                                np.asarray(f[f"flow_{i0}{i1}"])[0], 0, -1)
+            out["flow"] = np.clip(np.rint(flow * 256.0), -32768, 32767
+                                  ).astype(np.int16)
+    return out
 
 
 def main(argv=None):
@@ -85,6 +159,13 @@ def main(argv=None):
     ap.add_argument("--data_dir", default=None,
                     help="override DATA_DIR from config.json")
     ap.add_argument("--output_dir", default=None)
+    ap.add_argument("--batch", default=None, type=int,
+                    help="samples per jit call (default: 8 SF / 4 MF)")
+    ap.add_argument("--flow_source", default="file",
+                    choices=["file", "rigid"],
+                    help="multi_frame only: rigid computes flow in-graph "
+                         "from GT disparity + poses (synthetic data; no "
+                         "flow.hdf5 needed)")
     args = ap.parse_args(argv)
 
     enable_compilation_cache()
@@ -97,44 +178,52 @@ def main(argv=None):
     model_path = output_dir / args.architecture / f"net_{args.epoch:04d}.params"
     settings = load_settings(data_root / "settings.pkl")
 
-    if args.architecture == "single_frame":
+    sf = args.architecture == "single_frame"
+    B = args.batch or (8 if sf else 4)
+    if sf:
         template, infer = build_sf_infer(settings)
     else:
-        template, infer = build_mf_infer(settings)
+        template, infer, cam = build_mf_infer(settings,
+                                              flow_source=args.flow_source)
 
     with open(model_path, "rb") as f:
         params = serialization.from_bytes(template, f.read())
 
     sample_dirs = sorted(p for p in data_root.iterdir()
                          if p.is_dir() and (p / "frames.hdf5").exists())
-    for i, sample in enumerate(sample_dirs):
-        with h5py.File(sample / "frames.hdf5", "r") as f:
-            im = np.asarray(f["im"][:, 0], np.float32)          # (4, H, W)
-            if args.architecture == "multi_frame":
-                amb = np.asarray(f["ambient"][:, 0], np.float32)
-                R = np.asarray(f["R"], np.float32)
-                t = np.asarray(f["t"], np.float32)
+    for lo in range(0, len(sample_dirs), B):
+        group = sample_dirs[lo:lo + B]
+        data = [_read_sample(s, args.architecture, args.flow_source)
+                for s in group]
+        n = len(data)
+        while len(data) < B:                    # pad the tail batch
+            data.append(data[-1])
 
-        if args.architecture == "single_frame":
-            disp = np.asarray(infer(params, im))
+        if sf:
+            im = np.concatenate([d["im"] for d in data], axis=0)  # (4B,H,W)
+            disp = np.asarray(infer(params, im)).astype(np.float32) / 256.0
+            disp = disp.reshape(B, 4, *disp.shape[1:])
         else:
-            tl, (H, W) = 4, im.shape[1:]
-            flow = np.zeros((tl, tl, H, W, 2), np.float32)
-            with h5py.File(sample / "flow.hdf5", "r") as f:
-                for i0 in range(tl):
-                    for i1 in range(tl):
-                        if i0 != i1:
-                            flow[i0, i1] = np.moveaxis(
-                                np.asarray(f[f"flow_{i0}{i1}"])[0], 0, -1)
-            with h5py.File(sample / "single_frame_disp.hdf5", "r") as f:
-                primary = np.asarray(f["disp"][:, 0], np.float32)
-            disp = np.asarray(infer(params, im, amb, primary, R, t, flow))
+            st = lambda k: np.stack([d[k] for d in data], axis=1)
+            if args.flow_source == "rigid":
+                out = infer(params, cam, st("im"), st("amb"), st("primary"),
+                            st("disp_gt"), st("R"), st("t"))
+            else:
+                flow = np.stack([d["flow"] for d in data], axis=2)
+                out = infer(params, cam, st("im"), st("amb"), st("primary"),
+                            flow, st("R"), st("t"))
+            disp = np.asarray(out).astype(np.float32) / 256.0
+            disp = np.moveaxis(disp, 1, 0)                  # (B, 4, H, W)
 
-        with h5py.File(sample / f"{args.architecture}_disp.hdf5", "w") as f:
-            f.create_dataset("disp", data=disp[:, None])        # (4,1,H,W)
-        if i % 50 == 0:
-            print(f"{i + 1}/{len(sample_dirs)}: {sample.name}")
-    print(f"wrote {args.architecture}_disp.hdf5 for {len(sample_dirs)} samples")
+        for d_idx, sample in enumerate(group[:n]):
+            with h5py.File(sample / f"{args.architecture}_disp.hdf5",
+                           "w") as f:
+                f.create_dataset("disp", data=disp[d_idx][:, None])
+        if (lo // B) % 16 == 0:
+            print(f"{lo + n}/{len(sample_dirs)}: {group[-1].name}",
+                  flush=True)
+    print(f"wrote {args.architecture}_disp.hdf5 for {len(sample_dirs)} "
+          f"samples")
 
 
 if __name__ == "__main__":

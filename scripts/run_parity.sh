@@ -38,7 +38,7 @@ python train_val.py --architecture multi_frame --cmd retrain \
 
 echo "=== stage 4: presave MF disparities (pseudo-GT)"
 python -m depthinspace_tpu.tools.presave_disp multi_frame \
-    --epoch $((MF_EPOCHS - 1))
+    --epoch $((MF_EPOCHS - 1)) --flow_source rigid
 
 # stage 5 retrains into output/single_frame (same contract as the
 # reference, model/worker.py:183) — archive the self-supervised SF run

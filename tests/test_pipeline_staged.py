@@ -109,3 +109,26 @@ def test_stage3_ftsf_pseudo_gt(pipeline_dir):
     assert np.all(np.isfinite(comps))
     # 4 photometric + smooth + geometric + 4 pseudo-gt terms
     assert comps.shape[0] == 10
+
+
+def test_presave_mf_rigid_flow(pipeline_dir):
+    """Stage-4 path for --flow_source rigid pipelines: MF presave computes
+    flow in-graph from GT disparity + poses (no flow.hdf5 on disk)."""
+    settings = load_settings(pipeline_dir / "settings.pkl")
+    out_dir = pipeline_dir / "out" / "multi_frame"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    template, _, _ = presave_tool.build_mf_infer(settings,
+                                                 flow_source="rigid")
+    with open(out_dir / "net_0000.params", "wb") as f:
+        f.write(serialization.to_bytes(template))
+
+    presave_tool.main(["multi_frame", "--epoch", "0",
+                       "--flow_source", "rigid", "--batch", "2",
+                       "--data_dir", str(pipeline_dir),
+                       "--output_dir", str(pipeline_dir / "out")])
+    H, W = settings.imsize
+    for sample in sorted(pipeline_dir.glob("0*")):
+        with h5py.File(sample / "multi_frame_disp.hdf5", "r") as f:
+            d = np.asarray(f["disp"])
+        assert d.shape == (4, 1, H, W)
+        assert np.all(np.isfinite(d)) and d.min() >= 0

@@ -144,13 +144,27 @@ def build_scene(rng: np.random.RandomState, objs, min_z=0.0):
     data/create_syn_data.py:106-144)."""
     verts_l, faces_l, colors_l, normals_l = [], [], [], []
 
-    v, f, n = g3.xyplane(z=0, interleaved=True)
-    v = v.copy()
-    v[:, 2] += -v[:, 2].min() + rng.uniform(3, 5)
-    v[:, :2] *= 5e2
+    # Background board: a subdivided grid, NOT two huge triangles — the
+    # rasterizer has no near-plane clipping (native/render.cpp:100 drops any
+    # triangle with a vertex behind the camera), so a +-500-unit quad
+    # vanishes entirely under the slightest camera rotation (observed: 73%
+    # of every frame unrendered, which starves the self-supervised losses).
+    # +-24 units at z~3-5 covers the ~53 deg FOV with margin; 16x16 tiles
+    # keep every triangle safely in front of the camera.
+    grid = np.linspace(-24.0, 24.0, 17, dtype=np.float32)
+    gx, gy = np.meshgrid(grid, grid)
+    v = np.stack([gx, gy, np.zeros_like(gx)], axis=-1).reshape(-1, 3)
+    v[:, 2] += rng.uniform(3, 5)
+    ii = np.arange(16)
+    q = (ii[:, None] * 17 + ii[None, :]).reshape(-1)      # top-left corners
+    f = np.concatenate([
+        np.stack([q, q + 1, q + 17], axis=1),
+        np.stack([q + 1, q + 18, q + 17], axis=1)], axis=0).astype(np.int32)
+    n = np.tile(np.array([0, 0, -1], np.float32), (v.shape[0], 1))
     c = np.empty_like(v)
     c[:] = rng.uniform(0, 1, size=(3,))
-    verts_l.append(v); faces_l.append(f); normals_l.append(n); colors_l.append(c)
+    verts_l.append(v.astype(np.float32)); faces_l.append(f)
+    normals_l.append(n); colors_l.append(c)
 
     for _ in range(4):
         v, f, n = objs[rng.randint(0, len(objs))]

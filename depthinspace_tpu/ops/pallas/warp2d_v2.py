@@ -56,7 +56,7 @@ def _pick_cblk(C: int, BH: int, W: int, G: int) -> int:
 
 def _fwd_kernel(gy0_ref, gy1_ref, gx0_ref, gx1_ref,
                 img_ref, ky_ref, kx_ref, wy0_ref, wx0_ref, out_ref,
-                *, BH, W, D, C_blk):
+                *, BH, W, D, C_blk, WP):
     """Grid (M, nb, C//C_blk, G). img_ref: full (M, C, Hp, wp) in ANY
     memory; out block (1, 1, C_blk, BH, W) revisited across g."""
     i = pl.program_id(0)
@@ -103,8 +103,7 @@ def _fwd_kernel(gy0_ref, gy1_ref, gx0_ref, gx1_ref,
                                               * ch[:, s:s + BH, dx:dx + W])
 
         pl.run_scoped(body,
-                      pltpu.VMEM((C_blk, BH + 8, W + 2 * D + 2),
-                                 jnp.float32),
+                      pltpu.VMEM((C_blk, BH + 8, WP), jnp.float32),
                       pltpu.SemaphoreType.DMA(()))
 
 
@@ -156,7 +155,9 @@ def _v2_dims(H, W, D):
     BH = next((bh for bh in (16, 8) if H % bh == 0), H)
     n_bands = H // BH
     G = (2 * D + 2) // 8
-    wp = W + 2 * D + 2
+    # lane-dim (last-dim) slices of a VMEM memref must be 128-aligned for
+    # the in-kernel DMA -> round the padded width up to a lane-tile multiple
+    wp = -(-(W + 2 * D + 2) // 128) * 128
     return BH, n_bands, G, wp
 
 
@@ -179,10 +180,11 @@ def _v2_fwd(img, flow, max_shift):
     img_chw = jnp.moveaxis(img, -1, 1).astype(jnp.float32)   # (M, C, H, W)
     # rows: D top, 8G-D bottom (total Hp = H + 8G) so every chunk
     # [jBH + 8g, +BH+8) is in bounds (max end = H + 8G); cols D left,
-    # D+2 right (v1 layout).
-    img_pad = jnp.pad(img_chw, ((0, 0), (0, 0), (D, 8 * G - D), (D, D + 2)))
+    # wp-W-D right (wp is lane-tile-rounded).
+    img_pad = jnp.pad(img_chw, ((0, 0), (0, 0), (D, 8 * G - D),
+                                (D, wp - W - D)))
 
-    kernel = partial(_fwd_kernel, BH=BH, W=W, D=D, C_blk=C_blk)
+    kernel = partial(_fwd_kernel, BH=BH, W=W, D=D, C_blk=C_blk, WP=wp)
     shape4 = lambda a: a.reshape(M, n_bands, BH, W)
     blk = lambda: pl.BlockSpec((1, 1, BH, W),
                                lambda i, j, c, g, *_: (i, j, 0, 0),

@@ -42,12 +42,13 @@ def flow_warp(x: jax.Array, flow: jax.Array, max_shift: int = 16) -> jax.Array:
     flow = jax.lax.stop_gradient(flow)
     if _on_tpu() and x.shape[1] % 8 == 0:
         import os
-        if os.environ.get("DIS_WARP_V2") == "1":
-            # channel-blocked in-kernel-DMA variant (ops/pallas/warp2d_v2);
-            # opt-in until its clean-chip benchmark decides the default
-            from .pallas.warp2d_v2 import warp2d_v2 as warp2d
-        else:
+        if os.environ.get("DIS_WARP_V1") == "1":
+            # v1 band-window kernel kept as a fallback/baseline
             from .pallas.warp_kernel import warp2d
+        else:
+            # default: channel-blocked in-kernel-DMA kernel — bit-identical
+            # losses, DIS-MF step 1778 -> 1392 ms (bench_mf A/B)
+            from .pallas.warp2d_v2 import warp2d_v2 as warp2d
         if x.dtype != jnp.float32:
             # the Pallas kernels are f32; round-trip the values but keep the
             # caller's compute dtype (bf16 FuseNet feature warps)

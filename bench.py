@@ -46,7 +46,7 @@ def _settings():
                     baseline=0.025, K=K), K
 
 
-def _batch(bs, with_primary):
+def _batch(bs, with_primary, with_pseudo=False, with_sgm=False):
     from depthinspace_tpu.data.dataset import Batch
     rng = np.random.RandomState(0)
     return Batch(
@@ -59,6 +59,10 @@ def _batch(bs, with_primary):
         flow=rng.uniform(-2, 2, (TL, TL, bs, H, W, 2)).astype(np.float32),
         primary_disp=(rng.uniform(1, 100, (TL, bs, H, W)).astype(np.float32)
                       if with_primary else None),
+        pseudo_gt=(rng.uniform(1, 100, (TL, bs, H, W)).astype(np.float32)
+                   if with_pseudo else None),
+        sgm_disp=(rng.uniform(1, 100, (TL, bs, H, W)).astype(np.float32)
+                  if with_sgm else None),
     )
 
 
@@ -73,7 +77,8 @@ def _flops_of(jitfn, *args):
         return None
 
 
-def bench_train(architecture, bs, n_steps):
+def bench_train(architecture, bs, n_steps, use_pseudo_gt=False,
+                data_type="synthetic"):
     import jax
     import jax.numpy as jnp
     import optax
@@ -82,14 +87,16 @@ def bench_train(architecture, bs, n_steps):
                                         build_steps)
 
     settings, K = _settings()
-    ctx = make_loss_context(settings, track_length=TL)
+    ctx = make_loss_context(settings, track_length=TL,
+                            use_pseudo_gt=use_pseudo_gt, data_type=data_type)
     opt = optax.adam(1e-4)
     zeros = jnp.zeros
 
     if architecture == "single_frame":
         model = DispNet(max_disp=128.0)
         params = model.init(jax.random.key(0), zeros((1, H, W, 2)))
-        batch = _batch(bs, with_primary=False)
+        batch = _batch(bs, with_primary=False, with_pseudo=use_pseudo_gt,
+                       with_sgm=(data_type == "real"))
     else:
         model = FuseNet(imsize=(H, W), K=tuple(map(tuple, K.tolist())),
                         track_length=TL, max_disp=128.0,
@@ -160,6 +167,15 @@ def main():
     sf_sps, sf_flops = bench_train("single_frame", bs=8, n_steps=20)
     sub["sf_train_steps_per_sec"] = round(sf_sps, 4)
     sub["sf_train_vs_baseline"] = round(sf_sps / BASELINE_SF_STEPS_PER_SEC, 3)
+
+    # remaining driver configs (BASELINE.md): DIS-FTSF fine-tuning bs=8 and
+    # real-data training (SGM warmup terms active)
+    ftsf_sps, _ = bench_train("single_frame", bs=8, n_steps=10,
+                              use_pseudo_gt=True)
+    sub["ftsf_train_steps_per_sec"] = round(ftsf_sps, 4)
+    real_sps, _ = bench_train("single_frame", bs=8, n_steps=10,
+                              data_type="real")
+    sub["sf_real_train_steps_per_sec"] = round(real_sps, 4)
     if mf_flops:
         sub["mf_step_tflops"] = round(mf_flops / 1e12, 3)
         sub["mf_mfu_vs_v5e_bf16_peak"] = round(

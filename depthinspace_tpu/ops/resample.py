@@ -42,17 +42,20 @@ def flow_warp(x: jax.Array, flow: jax.Array, max_shift: int = 16) -> jax.Array:
     flow = jax.lax.stop_gradient(flow)
     if _on_tpu() and x.shape[1] % 8 == 0:
         import os
+        flow = flow.astype(jnp.float32)   # tap prep needs f32 coordinates
         if os.environ.get("DIS_WARP_V1") == "1":
-            # v1 band-window kernel kept as a fallback/baseline
+            # v1 band-window kernel kept as a fallback/baseline (f32-only)
             from .pallas.warp_kernel import warp2d
-        else:
-            # default: channel-blocked in-kernel-DMA kernel — bit-identical
-            # losses, DIS-MF step 1778 -> 1392 ms (bench_mf A/B)
-            from .pallas.warp2d_v2 import warp2d_v2 as warp2d
-        if x.dtype != jnp.float32:
-            # the Pallas kernels are f32; round-trip the values but keep the
-            # caller's compute dtype (bf16 FuseNet feature warps)
-            return warp2d(x.astype(jnp.float32), flow.astype(jnp.float32),
+            if x.dtype != jnp.float32:
+                return warp2d(x.astype(jnp.float32), flow,
+                              int(max_shift)).astype(x.dtype)
+            return warp2d(x, flow, int(max_shift))
+        # default: channel-blocked in-kernel-DMA kernel — bit-identical
+        # losses, DIS-MF step 1778 -> 1392 ms (bench_mf A/B); handles
+        # bf16 natively (f32 weights/accumulation, bf16 DMA)
+        from .pallas.warp2d_v2 import warp2d_v2 as warp2d
+        if x.dtype not in (jnp.float32, jnp.bfloat16):
+            return warp2d(x.astype(jnp.float32), flow,
                           int(max_shift)).astype(x.dtype)
         return warp2d(x, flow, int(max_shift))
     from .sampling import warp

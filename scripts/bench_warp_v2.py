@@ -60,6 +60,28 @@ def main():
     g2 = timeit("bwd v2", b2, img, flow, g)
     print("bwd max|v2-v1|:", float(jnp.max(jnp.abs(g2 - g1))))
 
+    # bf16-native v2 (incl. the f32<->bf16 round-trip copies the old path
+    # paid outside the kernel, for an apples-to-apples FuseNet comparison)
+    img16, g16 = img.astype(jnp.bfloat16), g.astype(jnp.bfloat16)
+    f2_rt = jax.jit(lambda i, fl: warp2d_v2(
+        i.astype(jnp.float32), fl, 16).astype(jnp.bfloat16))
+    f2_16 = jax.jit(lambda i, fl: warp2d_v2(i, fl, 16))
+    o_rt = timeit("fwd v2 bf16-via-f32", f2_rt, img16, flow)
+    o_16 = timeit("fwd v2 bf16-native ", f2_16, img16, flow)
+    print("fwd max|native-roundtrip|:",
+          float(jnp.max(jnp.abs(o_16.astype(jnp.float32)
+                                - o_rt.astype(jnp.float32)))))
+    b2_rt = jax.jit(lambda i, fl, gg: jax.vjp(
+        lambda x: warp2d_v2(x.astype(jnp.float32), fl, 16)
+        .astype(jnp.bfloat16), i)[1](gg)[0])
+    b2_16 = jax.jit(lambda i, fl, gg: jax.vjp(
+        lambda x: warp2d_v2(x, fl, 16), i)[1](gg)[0])
+    g_rt = timeit("bwd v2 bf16-via-f32", b2_rt, img16, flow, g16)
+    g_16 = timeit("bwd v2 bf16-native ", b2_16, img16, flow, g16)
+    print("bwd max|native-roundtrip|:",
+          float(jnp.max(jnp.abs(g_16.astype(jnp.float32)
+                                - g_rt.astype(jnp.float32)))))
+
 
 if __name__ == "__main__":
     main()

@@ -106,3 +106,32 @@ def test_warp2d_v2_matches_oracle_interpret():
         np.testing.assert_allclose(np.asarray(vjp2(g)[0]),
                                    np.asarray(vjp1(g)[0]),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_warp2d_v2_bf16_interpret():
+    """bf16 img path: bf16 DMA + f32 weights/accumulation must track the
+    f32 kernel within bf16 quantization, fwd and bwd, and preserve dtypes."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+    from depthinspace_tpu.ops.pallas.warp2d_v2 import warp2d_v2
+
+    M, H, W, C = 2, 16, 12, 4
+    rng = np.random.RandomState(5)
+    img32 = jnp.asarray(rng.rand(M, H, W, C).astype(np.float32))
+    img16 = img32.astype(jnp.bfloat16)
+    flow = jnp.asarray(rng.uniform(-5, 5, (M, H, W, 2)).astype(np.float32))
+    g = jnp.asarray(rng.rand(M, H, W, C).astype(np.float32))
+
+    with pltpu.force_tpu_interpret_mode():
+        ref = jax.jit(lambda i, f: warp2d_v2(i, f, 16))(img32, flow)
+        out = jax.jit(lambda i, f: warp2d_v2(i, f, 16))(img16, flow)
+        assert out.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(ref), rtol=0, atol=1.5e-2)
+        _, vjp32 = jax.vjp(lambda i: warp2d_v2(i, flow, 16), img32)
+        _, vjp16 = jax.vjp(lambda i: warp2d_v2(i, flow, 16), img16)
+        g16 = vjp16(g.astype(jnp.bfloat16))[0]
+        assert g16.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(g16, np.float32),
+                                   np.asarray(vjp32(g)[0]),
+                                   rtol=0, atol=3e-2)

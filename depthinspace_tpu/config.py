@@ -55,6 +55,7 @@ class RunConfig:
     device_augment: bool = True             # augmentation inside the jit step
     test_frequency: int = 1                 # eval every N epochs
     flow_source: str = "file"               # file | rigid (in-graph, synthetic)
+    geo_max_shift: int = 16                 # flow-warp enumeration half-width
     seed: int = 42
     learning_rate: float = 1e-4
     save_frequency: int = 1
@@ -85,4 +86,5 @@ class RunConfig:
             device_augment=getattr(args, "device_augment", True),
             test_frequency=getattr(args, "test_frequency", 1),
             flow_source=getattr(args, "flow_source", "file"),
+            geo_max_shift=getattr(args, "geo_max_shift", 16),
         )

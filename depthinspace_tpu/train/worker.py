@@ -54,6 +54,30 @@ class TestSet:
         self.test_frequency = test_frequency
 
 
+def flow_oor_fraction(flow, max_shift: int) -> tuple[float, float]:
+    """Fraction of *in-image* flow vectors whose components exceed the
+    flow-warp kernels' +-max_shift enumeration window (those sample as
+    zeros inside the geometric loss — ops/pallas/warp_kernel.py:19-24 — and
+    survive only if the fb/vc masks reject the pixel).
+
+    ``flow``: (tl, tl, bs, H, W, 2), f32 pixels or int16 x256 wire encoding.
+    Returns (oor_count, in_image_count) so callers can accumulate exactly.
+    The tl diagonal (zero self-flow) is excluded.
+    """
+    flow = np.asarray(flow)
+    if flow.dtype == np.int16:
+        flow = flow.astype(np.float32) * (1.0 / 256.0)
+    tl, _, bs, H, W, _ = flow.shape
+    off_diag = ~np.eye(tl, dtype=bool)
+    f = flow[off_diag]                      # (tl*(tl-1), bs, H, W, 2)
+    u, v = f[..., 0], f[..., 1]
+    tx = u + np.arange(W, dtype=np.float32)
+    ty = v + np.arange(H, dtype=np.float32)[:, None]
+    in_img = (tx >= 0) & (tx <= W - 1) & (ty >= 0) & (ty <= H - 1)
+    oor = in_img & ((np.abs(u) > max_shift) | (np.abs(v) > max_shift))
+    return float(np.count_nonzero(oor)), float(np.count_nonzero(in_img))
+
+
 class Worker:
     """Base training runtime; architecture subclasses fill in the model and
     dataset flags."""
@@ -104,7 +128,8 @@ class Worker:
             self.settings, track_length=cfg.track_length,
             data_type=cfg.data_type, warmup_epochs=cfg.warmup_epochs,
             use_pseudo_gt=cfg.use_pseudo_gt, lcn_radius=cfg.lcn_radius,
-            augment=cfg.device_augment, flow_source=cfg.flow_source)
+            augment=cfg.device_augment, flow_source=cfg.flow_source,
+            geo_max_shift=cfg.geo_max_shift)
         if cfg.flow_source == "rigid":
             assert cfg.data_type == "synthetic", \
                 "--flow_source rigid needs GT disparity (synthetic data)"
@@ -249,12 +274,18 @@ class Worker:
 
         comps_acc = None
         n_done = 0
+        oor_acc = np.zeros(2)        # (oor count, in-image count), sampled
         sw.start("total")
         sw.start("data")
-        for batch_idx, batch in enumerate(loader):
+        for batch_idx, host_batch in enumerate(loader):
             if 0 < self.cfg.max_train_iter <= batch_idx:
                 break
-            batch = put_batch(batch, self.mesh)     # loader pre-encoded
+            if host_batch.flow is not None and batch_idx % 16 == 0:
+                # out-of-range-flow accounting (file-provided flow only; the
+                # in-graph rigid flow never reaches the host)
+                oor_acc += flow_oor_fraction(host_batch.flow,
+                                             self.ctx.geo_max_shift)
+            batch = put_batch(host_batch, self.mesh)  # loader pre-encoded
             sw.stop("data")
             sw.start("step")
             state, comps = self.train_step(state, batch, epoch_arr)
@@ -283,6 +314,15 @@ class Worker:
                 "reduce --train_batch_size or add data")
         mean_loss = [float(c) / max(n_done, 1) for c in np.asarray(comps_acc)]
         self.metric_add_train(epoch, "loss", mean_loss)
+        if oor_acc[1] > 0:
+            oor_frac = float(oor_acc[0] / oor_acc[1])
+            self.metric_add_train(epoch, "geo_oor_frac", oor_frac)
+            if oor_frac > 0.01:
+                logging.warning(
+                    f"{oor_frac:.2%} of in-image flow vectors exceed "
+                    f"geo_max_shift={self.ctx.geo_max_shift}px — those "
+                    f"sample as zeros in the geometric loss; consider "
+                    f"raising --geo_max_shift")
         self.metric_save()
         logging.info(f"avg train_loss={sum(mean_loss):0.4f}")
         return state

@@ -70,6 +70,16 @@ def parse_args(argv=None):
                              "faster and bf16 bs=4 at 512x432 fits without "
                              "it — enable for larger batches/resolutions)",
                         default=False, type=str2bool)
+    parser.add_argument("--geo_max_shift",
+                        help="Half-width (px) of the enumeration window of "
+                             "the Pallas flow-warp kernels in the geometric "
+                             "loss; in-image flows beyond it sample as zeros "
+                             "(the fb/vc masks then reject the pixel). The "
+                             "train loop reports the fraction of in-image "
+                             "flow vectors exceeding it (geo_oor_frac in "
+                             "metrics.json) — raise this if that fraction "
+                             "is non-negligible (cost grows ~linearly)",
+                        default=16, type=int)
     parser.add_argument("--mf_dtype",
                         help="FuseNet compute dtype (params/losses stay f32); "
                              "bfloat16 halves HBM and enables the reference "

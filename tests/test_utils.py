@@ -117,3 +117,26 @@ def test_cmaps():
     depth = np.random.RandomState(1).rand(8, 9) * 10
     out = cmap.color_depth_map(depth)
     assert out.shape == (8, 9, 3) and out.dtype == np.uint8
+
+
+def test_flow_oor_fraction():
+    from depthinspace_tpu.train.worker import flow_oor_fraction
+
+    tl, bs, H, W = 2, 1, 16, 40
+    flow = np.zeros((tl, tl, bs, H, W, 2), np.float32)
+    # one in-image vector beyond the window, one beyond but pointing
+    # off-image (must NOT count), diagonal large values (excluded)
+    flow[0, 1, 0, 8, 10] = (12.0, 0.0)       # in-image, |u| > 8
+    flow[0, 1, 0, 8, 11] = (50.0, 0.0)       # lands off-image -> ignored
+    flow[1, 0, 0, 3, 3] = (-2.0, 1.0)        # in-range
+    flow[0, 0, :] = 99.0                      # diagonal, excluded
+    oor, n = flow_oor_fraction(flow, max_shift=8)
+    assert oor == 1.0
+    # in-image count: all finite targets of the two off-diagonal blocks
+    # minus the single off-image vector
+    assert n == 2 * bs * H * W - 1
+
+    # int16 wire encoding decodes identically
+    wire = np.clip(np.rint(flow * 256.0), -32768, 32767).astype(np.int16)
+    oor_w, n_w = flow_oor_fraction(wire, max_shift=8)
+    assert (oor_w, n_w) == (oor, n)

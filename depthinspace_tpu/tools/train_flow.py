@@ -48,16 +48,32 @@ def load_pair(sample: Path, K, baseline, focal, rng: np.random.RandomState):
     return amb_i, amb_j, np.moveaxis(fl, 0, -1)
 
 
-def make_batch(samples, K, baseline, focal, rng, batch_size):
+def make_batch(samples, K, baseline, focal, rng, batch_size, crop=None):
+    """Training batch, wire-encoded for the slow host->device tunnel:
+    images as uint16 fixed point ([0,1] x 65535), flow labels as int16
+    (1/256 px) — half the f32 bytes; decoded inside the jitted step.
+
+    crop=(ch, cw): random crop applied after computing the full-res rigid
+    flow (flow values are per-pixel displacements, unchanged by cropping).
+    """
     idx = rng.choice(len(samples), size=batch_size, replace=True)
     im1, im2, gt = [], [], []
     for k in idx:
         a, b, fl = load_pair(samples[k], K, baseline, focal, rng)
+        if crop is not None:
+            ch, cw = crop
+            y = rng.randint(0, a.shape[0] - ch + 1)
+            x = rng.randint(0, a.shape[1] - cw + 1)
+            a = a[y:y + ch, x:x + cw]
+            b = b[y:y + ch, x:x + cw]
+            fl = fl[y:y + ch, x:x + cw]
         im1.append(a)
         im2.append(b)
         gt.append(fl)
-    return (np.stack(im1)[..., None], np.stack(im2)[..., None],
-            np.stack(gt))
+    enc_im = lambda v: np.clip(np.stack(v) * 65535.0 + 0.5,
+                               0, 65535).astype(np.uint16)
+    gt = np.clip(np.rint(np.stack(gt) * 256.0), -32768, 32767).astype(np.int16)
+    return enc_im(im1)[..., None], enc_im(im2)[..., None], gt
 
 
 def save_params(params, path: Path):
@@ -88,6 +104,11 @@ def main(argv=None):
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--val_samples", type=int, default=16)
+    ap.add_argument("--crop", type=int, nargs=2, default=(256, 224),
+                    metavar=("H", "W"),
+                    help="random training crop (divisible by 16; cuts "
+                    "host->device bytes ~4x vs full res); pass 0 0 for "
+                    "full-resolution training")
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--report_every", type=int, default=100)
     args = ap.parse_args(argv)
@@ -111,16 +132,24 @@ def main(argv=None):
     val = samples[:args.val_samples]
     train = samples[args.val_samples:] or samples
 
+    crop = tuple(args.crop) if args.crop and args.crop[0] > 0 else None
     rng = np.random.RandomState(args.seed)
     net = FlowNet()
-    im1, im2, gt = make_batch(train, K, baseline, focal, rng, args.batch_size)
-    params = net.init(jax.random.key(args.seed), jnp.asarray(im1),
-                      jnp.asarray(im2))
+    im1, im2, gt = make_batch(train, K, baseline, focal, rng,
+                              args.batch_size, crop)
+    params = net.init(jax.random.key(args.seed),
+                      jnp.zeros(im1.shape, jnp.float32),
+                      jnp.zeros(im2.shape, jnp.float32))
     opt = optax.adam(args.lr)
     opt_state = opt.init(params)
 
     @jax.jit
     def step(params, opt_state, im1, im2, gt):
+        # in-graph wire decode (see make_batch)
+        im1 = im1.astype(jnp.float32) * (1.0 / 65535.0)
+        im2 = im2.astype(jnp.float32) * (1.0 / 65535.0)
+        gt = gt.astype(jnp.float32) * (1.0 / 256.0)
+
         def loss_fn(p):
             flows = net.apply(p, im1, im2)
             return multiscale_epe_loss(flows, gt), epe(flows[-1], gt)
@@ -136,7 +165,7 @@ def main(argv=None):
     t0 = time.time()
     for it in range(args.steps):
         im1, im2, gt = make_batch(train, K, baseline, focal, rng,
-                                  args.batch_size)
+                                  args.batch_size, crop)
         params, opt_state, loss, train_epe = step(
             params, opt_state, jnp.asarray(im1), jnp.asarray(im2),
             jnp.asarray(gt))

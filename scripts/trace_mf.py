@@ -6,6 +6,7 @@ import glob
 import gzip
 import json
 import os
+import re
 import sys
 from collections import defaultdict
 
@@ -95,6 +96,7 @@ def main():
         run()
 
     agg = defaultdict(float)
+    fam = defaultdict(lambda: [0.0, 0])    # name sans trailing .<id> digits
     for fp in glob.glob(f"{logdir}/**/*.trace.json.gz", recursive=True):
         with gzip.open(fp, "rt") as f:
             data = json.load(f)
@@ -107,8 +109,21 @@ def main():
             dur = e.get("dur", 0) / 1e3
             if dur > 0.3:
                 agg[name[:110]] += dur
+            # family aggregate over ALL events (incl. the <0.3 ms tail):
+            # strip trailing ".<digits>" ids so fusion.1234 -> fusion
+            base = re.sub(r"\.\d+$", "", name)
+            # only count device-stream op events (skip host-side wrappers)
+            if base and not base.startswith(("np.asarray", "PjitFunction",
+                                             "jvp_")):
+                f0 = fam[base[:80]]
+                f0[0] += dur
+                f0[1] += 1
+    print("=== top individual ops (>0.3 ms) ===")
     for name, dur in sorted(agg.items(), key=lambda kv: -kv[1])[:40]:
         print(f"{dur:10.2f} ms  {name}")
+    print("=== op families (ALL events, ids stripped) ===")
+    for name, (dur, n) in sorted(fam.items(), key=lambda kv: -kv[1][0])[:40]:
+        print(f"{dur:10.2f} ms  x{n:4d}  {name}")
 
 
 if __name__ == "__main__":

@@ -50,18 +50,4 @@ python train_val.py --architecture single_frame --cmd retrain \
     --use_pseudo_gt True --epochs "$FTSF_EPOCHS" $FLOW $EVAL
 
 echo "=== done; metric trajectories in output/*/metrics.json"
-python - <<'EOF'
-import json, pathlib
-for arch in ("single_frame_selfsup", "multi_frame", "single_frame"):
-    p = pathlib.Path("output") / arch / "metrics.json"
-    if not p.exists():
-        continue
-    m = json.loads(p.read_text())
-    print(f"--- {arch}")
-    for ep in sorted(m, key=int):
-        t = m[ep].get("test", {}).get("0", {})
-        if "of1" in t:
-            print(f"  epoch {ep}: dist2_mean={t['dist2_mean']:.4f} "
-                  f"o(0.5)={t['of0.5']:.4f} o(1)={t['of1']:.4f} "
-                  f"o(2)={t['of2']:.4f}")
-EOF
+python scripts/parity_report.py

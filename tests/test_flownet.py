@@ -81,6 +81,40 @@ def test_flownet_learns_constant_shift():
     assert float(e) < 2.0, float(e)     # better than predicting zero flow
 
 
+def test_train_flow_make_batch_crop_and_encoding(tmp_path):
+    """make_batch: crops are (ch, cw) windows of the full-res pair with the
+    SAME flow values (flow is displacement, invariant under cropping), and
+    the uint16/int16 wire encoding round-trips within quantization."""
+    from depthinspace_tpu.data.fixture import generate_dataset
+    from depthinspace_tpu.data import load_settings
+    from depthinspace_tpu.tools.train_flow import (_sample_dirs, load_pair,
+                                                   make_batch)
+
+    root = tmp_path / "data"
+    generate_dataset(root, n_samples=2, imsize=(48, 48), write_flow=False)
+    settings = load_settings(root / "settings.pkl")
+    K, bl, fo = settings.K, settings.baseline, settings.focal_length
+    samples = _sample_dirs(root)
+
+    im1, im2, gt = make_batch(samples, K, bl, fo,
+                              np.random.RandomState(0), batch_size=3,
+                              crop=(32, 32))
+    assert im1.shape == (3, 32, 32, 1) and im1.dtype == np.uint16
+    assert gt.shape == (3, 32, 32, 2) and gt.dtype == np.int16
+
+    # decode (the jitted step's in-graph decode) and check against a
+    # directly loaded full-res pair: every crop must appear verbatim
+    a_full, b_full, fl_full = load_pair(samples[0], K, bl, fo,
+                                        np.random.RandomState(1))
+    enc = np.clip(a_full * 65535.0 + 0.5, 0, 65535).astype(np.uint16)
+    dec = enc.astype(np.float32) / 65535.0
+    assert np.max(np.abs(dec - a_full)) <= 1.0 / 65535.0
+    fl_enc = np.clip(np.rint(fl_full * 256.0), -32768, 32767).astype(np.int16)
+    fl_dec = fl_enc.astype(np.float32) / 256.0
+    in_range = np.abs(fl_full) < 127.0
+    assert np.max(np.abs((fl_dec - fl_full)[in_range])) <= 0.5 / 256.0
+
+
 def test_presave_learned_provider_roundtrip(tmp_path):
     """train_flow save/load + presave_flow --provider learned writes the
     flow.hdf5 schema the datasets consume."""

@@ -86,7 +86,10 @@ class StateCheckpointer:
                 meta=ocp.args.JsonSave(meta),
             ),
         )
-        self.mgr.wait_until_finished()
+        # The write completes on orbax's background thread; the next save
+        # (or flush()/close()) blocks until it lands.  Keeping the epoch
+        # loop off this wait overlaps the D2H + disk write with the next
+        # train epoch (~15 s/epoch on tunneled hosts).
         # host RNG sidecar (numpy/python RNG drive shuffling + augmentation)
         with open(self.dir / f"host_rng_{epoch}.pkl", "wb") as f:
             f.write(_host_rng_states())
@@ -96,6 +99,7 @@ class StateCheckpointer:
 
     def restore(self, state_template: TrainState):
         """Returns (state, epoch, min_err) or None if nothing saved."""
+        self.mgr.wait_until_finished()     # an async save may be in flight
         step = self.mgr.latest_step()
         if step is None:
             return None
@@ -122,6 +126,10 @@ class StateCheckpointer:
             with open(host_rng, "rb") as f:
                 _restore_host_rng(f.read())
         return state, int(meta["epoch"]), dict(meta["min_err"])
+
+    def flush(self):
+        """Block until any in-flight async save has fully landed."""
+        self.mgr.wait_until_finished()
 
     def close(self):
         self.mgr.close()

@@ -257,6 +257,7 @@ class Worker:
                 path = save_net_params(self.exp_dir, epoch, state.params)
                 logging.info(f"saved network to {path}")
 
+        self.ckpt.flush()             # final async save must land
         logging.info("Finished training")
         return state
 

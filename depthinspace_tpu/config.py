@@ -54,6 +54,10 @@ class RunConfig:
     mf_remat: bool = False
     device_augment: bool = True             # augmentation inside the jit step
     test_frequency: int = 1                 # eval every N epochs
+    # eval-metric backend: exact (host, buffers per-pixel distances),
+    # device (on-device streaming, exact at wire resolution), or auto
+    # (device for test sets > 64 samples)
+    eval_metrics: str = "auto"              # auto | exact | device
     flow_source: str = "file"               # file | rigid (in-graph, synthetic)
     geo_max_shift: int = 16                 # flow-warp enumeration half-width
     seed: int = 42
@@ -85,6 +89,7 @@ class RunConfig:
             mf_remat=getattr(args, "mf_remat", False),
             device_augment=getattr(args, "device_augment", True),
             test_frequency=getattr(args, "test_frequency", 1),
+            eval_metrics=getattr(args, "eval_metrics", "auto"),
             flow_source=getattr(args, "flow_source", "file"),
             geo_max_shift=getattr(args, "geo_max_shift", 16),
         )

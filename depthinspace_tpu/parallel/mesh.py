@@ -67,6 +67,32 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def replicate_pytree(tree, mesh: Mesh):
+    """Replicate a pytree over the mesh, multi-process safe.
+
+    ``jax.device_put(x, replicated(mesh))`` rejects *device-resident*
+    arrays when the mesh spans non-addressable devices (multi-host), so
+    leaves are staged through host memory first; every process holds the
+    same values (deterministic init), which is exactly the replicated
+    global array.  PRNG key arrays round-trip through key_data.
+    """
+    repl = replicated(mesh)
+    single = jax.process_count() == 1
+
+    def put(x):
+        if x is None:
+            return None
+        if single:
+            return jax.device_put(x, repl)
+        if isinstance(x, jax.Array) and jax.dtypes.issubdtype(
+                x.dtype, jax.dtypes.prng_key):
+            data = jax.device_put(np.asarray(jax.random.key_data(x)), repl)
+            return jax.random.wrap_key_data(data)
+        return jax.device_put(np.asarray(x), repl)
+
+    return jax.tree.map(put, tree)
+
+
 def pad_batch(batch: Batch, multiple: int) -> tuple[Batch, int]:
     """Pad the batch axis up to a multiple by repeating the last sample
     (eval loaders keep ragged tails; a sharded axis must divide the mesh).
@@ -90,15 +116,19 @@ def pad_batch(batch: Batch, multiple: int) -> tuple[Batch, int]:
 
 
 def put_batch(batch: Batch, mesh: Optional[Mesh]) -> Batch:
-    """Host->device transfer with per-leaf shardings (single fused call)."""
-    if mesh is None:
-        return batch
-    shardings = batch_shardings(mesh, batch)
-    leaves = {k: getattr(batch, k) for k in Batch._fields}
+    """Host->device transfer with per-leaf shardings.
+
+    With ``mesh=None`` (single device) the transfer is still explicit —
+    callers run it on the loader's producer thread so H2D overlaps the
+    previous step's compute instead of blocking step dispatch."""
+    shardings = batch_shardings(mesh, batch) if mesh is not None else None
     out = {}
-    for k, v in leaves.items():
+    for k in Batch._fields:
+        v = getattr(batch, k)
         if v is None:
             out[k] = None
-        else:
+        elif shardings is not None:
             out[k] = jax.device_put(v, getattr(shardings, k))
+        else:
+            out[k] = jax.device_put(v)
     return Batch(**out)

@@ -90,6 +90,13 @@ class StateCheckpointer:
         # (or flush()/close()) blocks until it lands.  Keeping the epoch
         # loop off this wait overlaps the D2H + disk write with the next
         # train epoch (~15 s/epoch on tunneled hosts).
+        # INVARIANT: the D2H copy must stay in THIS blocking phase — the
+        # train step donates its state (donate_argnums=(0,), steps.py), so
+        # once save() returns the caller immediately feeds `state` into a
+        # step that deletes its buffers.  Orbax's default path transfers
+        # all arrays to host synchronously inside save(); enabling a
+        # memory-limited saver (device_host byte limiter) would move some
+        # D2H to the background thread and read donated buffers.
         # host RNG sidecar (numpy/python RNG drive shuffling + augmentation)
         with open(self.dir / f"host_rng_{epoch}.pkl", "wb") as f:
             f.write(_host_rng_states())

@@ -129,8 +129,8 @@ def build_steps(model, ctx: LossContext, optimizer: optax.GradientTransformation
     # its per-leaf NamedShardings and the state is replicated at creation;
     # jit propagates them and inserts the gradient all-reduce over 'data'.
     if mesh is not None:
-        from ..parallel.mesh import replicated
-        consts = jax.device_put(consts, replicated(mesh))
+        from ..parallel.mesh import replicate_pytree
+        consts = replicate_pytree(consts, mesh)
     train_jit = jax.jit(train_step, donate_argnums=(0,))
     eval_jit = jax.jit(eval_step)
 

@@ -20,12 +20,13 @@ steps and async dispatch:
 from __future__ import annotations
 
 import datetime
+import itertools
 import json
 import logging
 import random
 import socket
-import time
 from pathlib import Path
+from typing import NamedTuple, Optional
 
 import numpy as np
 import jax
@@ -35,10 +36,11 @@ import optax
 from ..config import RunConfig
 from ..data import TrackDataset, DataLoader, load_settings
 from ..models import DispNet, FuseNet
-from ..parallel import make_mesh, put_batch, pad_batch, replicated
+from ..parallel import (make_mesh, put_batch, pad_batch, replicated,
+                        replicate_pytree)
 from ..data.wire import encode_batch, decode_batch_np, decode_disp_np
 from ..utils import metric as metric_lib
-from ..utils.gtimer import StopWatch, ETA
+from ..utils.gtimer import PhaseTimer, Progress
 from ..utils.jaxcfg import enable_compilation_cache
 from .objective import make_loss_context
 from .steps import build_steps
@@ -52,6 +54,18 @@ class TestSet:
         self.name = name
         self.dset = dset
         self.test_frequency = test_frequency
+
+
+class _Loaded(NamedTuple):
+    """One pipeline item: the wire-encoded batch already ON DEVICE (the
+    transfer happens on the loader's producer thread so H2D rides under the
+    previous step's compute), plus the bits of host-side state the epoch
+    loops need (eval keeps the host copy for GT/debug images; train carries
+    the sampled out-of-range-flow counts)."""
+    batch: Batch
+    host: Optional[Batch]
+    n_valid: int
+    oor: Optional[np.ndarray]
 
 
 def flow_oor_fraction(flow, max_shift: int) -> tuple[float, float]:
@@ -214,8 +228,34 @@ class Worker:
         state = TrainState.create(params, self.optimizer,
                                   jax.random.key(self._jax_seed))
         if self.mesh is not None:
-            state = jax.device_put(state, replicated(self.mesh))
+            state = replicate_pytree(state, self.mesh)
         return state
+
+    # ---------------------------------------------------- host pipeline
+    def _host_transform(self, for_eval: bool = False):
+        """Per-batch producer-thread pipeline: wire-encode, (eval) pad the
+        ragged tail to the mesh multiple, and device_put — so quantization
+        AND the H2D transfer overlap the previous step's device compute
+        (the transfer used to run synchronously on the consumer thread,
+        serializing with compute)."""
+        counter = itertools.count()
+
+        def transform(b: Batch) -> _Loaded:
+            enc = encode_batch(b)
+            oor = None
+            if (not for_eval and enc.flow is not None
+                    and next(counter) % 16 == 0):
+                # out-of-range-flow accounting (file-provided flow only;
+                # in-graph rigid flow never reaches the host)
+                oor = np.asarray(flow_oor_fraction(enc.flow,
+                                                   self.ctx.geo_max_shift))
+            n_valid = enc.im.shape[1]
+            if for_eval:
+                enc, n_valid = pad_batch(enc, self.mesh_size)
+            dev = put_batch(enc, self.mesh)
+            return _Loaded(dev, enc if for_eval else None, n_valid, oor)
+
+        return transform
 
     # ------------------------------------------------------------- train
     def train(self, resume=True):
@@ -237,75 +277,77 @@ class Worker:
                 min_err.update(saved_min)
                 logging.info(f"Resumed from epoch {saved_epoch}")
 
-        for epoch in range(epoch0, self.cfg.epochs):
-            self.current_epoch = epoch
-            state = self.train_epoch(epoch, state, train_set)
-            errs = self.test(epoch, state.params, test_sets)
+        try:
+            for epoch in range(epoch0, self.cfg.epochs):
+                self.current_epoch = epoch
+                state = self.train_epoch(epoch, state, train_set)
+                errs = self.test(epoch, state.params, test_sets)
 
-            if (epoch + 1) % self.cfg.save_frequency == 0:
-                self.ckpt.save(epoch, state, min_err)
-                for name, err_list in errs.items():
-                    err = sum(err_list)
-                    if err < min_err[name]:
-                        min_err[name] = err
-                        best = StateCheckpointer(self.exp_dir,
-                                                 name=f"state_set_{name}_best",
-                                                 max_to_keep=1)
-                        best.save(epoch, state, min_err)
-                        best.close()
-                        logging.info(f"new best for test set {name}: {err:.5f}")
-                path = save_net_params(self.exp_dir, epoch, state.params)
-                logging.info(f"saved network to {path}")
-
-        self.ckpt.flush()             # final async save must land
+                if (epoch + 1) % self.cfg.save_frequency == 0:
+                    self.ckpt.save(epoch, state, min_err)
+                    for name, err_list in errs.items():
+                        err = sum(err_list)
+                        if err < min_err[name]:
+                            min_err[name] = err
+                            best = StateCheckpointer(
+                                self.exp_dir, name=f"state_set_{name}_best",
+                                max_to_keep=1)
+                            best.save(epoch, state, min_err)
+                            best.close()
+                            logging.info(
+                                f"new best for test set {name}: {err:.5f}")
+                    path = save_net_params(self.exp_dir, epoch, state.params)
+                    logging.info(f"saved network to {path}")
+        finally:
+            # the last async save must land even on an abnormal exit —
+            # orbax surfaces background-save errors only at the next
+            # save/wait, so skipping this would silently drop them
+            self.ckpt.flush()
         logging.info("Finished training")
         return state
 
     def train_epoch(self, epoch, state: TrainState, dset: TrackDataset):
-        sw = StopWatch()
+        sw = PhaseTimer()
         logging.info("=" * 80)
         logging.info(f"Train epoch {epoch}")
         dset.current_epoch = epoch
         loader = DataLoader(dset, self.cfg.train_batch_size, shuffle=True,
                             num_workers=self.cfg.num_workers, drop_last=True,
-                            transform=encode_batch)
+                            transform=self._host_transform())
         n_batches = len(loader)
-        bar = ETA(length=n_batches)
+        bar = Progress(n_batches)
         epoch_arr = jnp.asarray(epoch, jnp.float32)
 
         comps_acc = None
         n_done = 0
         oor_acc = np.zeros(2)        # (oor count, in-image count), sampled
-        sw.start("total")
-        sw.start("data")
-        for batch_idx, host_batch in enumerate(loader):
+        sw.begin("total")
+        sw.begin("data")
+        for batch_idx, loaded in enumerate(loader):
             if 0 < self.cfg.max_train_iter <= batch_idx:
                 break
-            if host_batch.flow is not None and batch_idx % 16 == 0:
-                # out-of-range-flow accounting (file-provided flow only; the
-                # in-graph rigid flow never reaches the host)
-                oor_acc += flow_oor_fraction(host_batch.flow,
-                                             self.ctx.geo_max_shift)
-            batch = put_batch(host_batch, self.mesh)  # loader pre-encoded
-            sw.stop("data")
-            sw.start("step")
+            if loaded.oor is not None:
+                oor_acc += loaded.oor
+            batch = loaded.batch     # encoded + device_put on loader thread
+            sw.end("data")
+            sw.begin("step")
             state, comps = self.train_step(state, batch, epoch_arr)
             comps_acc = comps if comps_acc is None else comps_acc + comps
             n_done += 1
-            sw.stop("step")
+            sw.end("step")
 
-            bar.update(batch_idx)
+            bar.step()
             if (epoch <= 1 and batch_idx < 128) or batch_idx % 16 == 0:
                 cvals = np.asarray(comps)    # blocks: logging boundary only
                 err_str = f"{cvals.sum():0.4f}=" + "+".join(
                     f"{c:0.4f}" for c in cvals)
                 logging.info(
                     f"train e{epoch}: {batch_idx + 1}/{n_batches}: "
-                    f"loss={err_str} | {bar.get_elapsed_time_str()} / "
-                    f"{bar.get_remaining_time_str()}")
+                    f"loss={err_str} | {bar.elapsed_str()} / "
+                    f"{bar.remaining_str()}")
                 self.callback_train_batch(epoch, batch_idx, state, batch)
-            sw.start("data")
-        sw.stop("total")
+            sw.begin("data")
+        sw.end("total")
         logging.info(f"timings: {sw}")
 
         if comps_acc is None:
@@ -355,45 +397,60 @@ class Worker:
         dset.current_epoch = epoch
         loader = DataLoader(dset, self.cfg.test_batch_size, shuffle=False,
                             num_workers=self.cfg.num_workers, drop_last=False,
-                            transform=encode_batch)
-        bar = ETA(length=len(loader))
+                            transform=self._host_transform(for_eval=True))
+        bar = Progress(len(loader))
         epoch_arr = jnp.asarray(epoch, jnp.float32)
 
-        met = metric_lib.MultipleMetric(
-            metric_lib.DistanceMetric(vec_length=1),
-            metric_lib.OutlierFractionMetric(vec_length=1,
-                                             thresholds=[0.1, 0.5, 1, 2, 5]))
-        mean_loss = None
+        # metric backend: the exact host path buffers every per-pixel
+        # distance and pulls ~28 MB of disparities per batch over the
+        # tunnel — fine for small sets, prohibitive for a 512-sample
+        # split; the device path streams the same statistics on device
+        # (metric_lib.StreamingEvalMetric — exact at wire resolution)
+        mode = self.cfg.eval_metrics
+        on_device = (mode == "device" or (mode == "auto" and len(dset) > 64))
+        if on_device:
+            met = metric_lib.StreamingEvalMetric()
+        else:
+            met = metric_lib.MultipleMetric(
+                metric_lib.DistanceMetric(vec_length=1),
+                metric_lib.OutlierFractionMetric(
+                    vec_length=1, thresholds=[0.1, 0.5, 1, 2, 5]))
+
+        loss_acc = None
         n = 0
-        for batch_idx, host_batch in enumerate(loader):
-            padded, n_valid = pad_batch(host_batch, self.mesh_size)
-            batch = put_batch(padded, self.mesh)    # loader pre-encoded
+        for batch_idx, loaded in enumerate(loader):
+            batch, host_batch, n_valid = (loaded.batch, loaded.host,
+                                          loaded.n_valid)
             disp0, comps = self.eval_step(params, batch, epoch_arr)
 
-            es = decode_disp_np(disp0)[:, :n_valid]
-            # loader delivers the wire-encoded batch; metrics need f32 GT
-            gt = decode_batch_np(host_batch).disp_gt
-            es = es * (gt > 0)
-            met.add(es.reshape(-1, 1), gt.reshape(-1, 1))
+            if on_device:
+                met.add(disp0, batch.disp_gt, n_valid)
+            else:
+                es = decode_disp_np(disp0)[:, :n_valid]
+                gt = decode_batch_np(host_batch).disp_gt[:, :n_valid]
+                es = es * (gt > 0)
+                met.add(es.reshape(-1, 1), gt.reshape(-1, 1))
 
-            cvals = np.asarray(comps)
-            mean_loss = cvals if mean_loss is None else mean_loss + cvals
+            loss_acc = comps if loss_acc is None else loss_acc + comps
             n += 1
-            bar.update(batch_idx)
+            bar.step()
             if batch_idx % 25 == 0:
+                cvals = np.asarray(comps)   # logging boundary: sync here
                 logging.info(
                     f"test e{epoch}: {batch_idx + 1}/{len(loader)}: "
-                    f"loss={cvals.sum():0.4f} | {bar.get_elapsed_time_str()}"
-                    f" / {bar.get_remaining_time_str()}")
+                    f"loss={cvals.sum():0.4f} | {bar.elapsed_str()}"
+                    f" / {bar.remaining_str()}")
             if self.cfg.write_debug_images and batch_idx % 8 == 0:
                 try:
+                    es = decode_disp_np(disp0)[:, :n_valid]
+                    gt = decode_batch_np(host_batch).disp_gt[:, :n_valid]
                     self.write_debug_image(
                         self.exp_dir / f"test_{epoch:03d}_{batch_idx:04d}.png",
-                        es, host_batch)
+                        es * (gt > 0), host_batch)
                 except Exception as e:
                     logging.warning(f"debug image failed: {e}")
 
-        mean_loss = [float(c) / max(n, 1) for c in mean_loss]
+        mean_loss = [float(c) / max(n, 1) for c in np.asarray(loss_acc)]
         logging.info(f"{met}")
         for k, v in met.items():
             self.metric_add_test(epoch, set_idx, k, v)
@@ -411,7 +468,7 @@ class Worker:
             if path.exists():
                 params = load_net_params(path, template)
                 if self.mesh is not None:
-                    params = jax.device_put(params, replicated(self.mesh))
+                    params = replicate_pytree(params, self.mesh)
                 self.test(ep, params, test_sets)
 
     # ------------------------------------------------------- debug images

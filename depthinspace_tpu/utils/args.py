@@ -58,6 +58,13 @@ def parse_args(argv=None):
                         help="Eval batch size (larger amortizes the "
                              "host<->device round trip per batch)",
                         default=4, type=int)
+    parser.add_argument("--eval_metrics", default="auto",
+                        choices=["auto", "exact", "device"],
+                        help="Eval-metric backend: exact host statistics "
+                             "(buffers per-pixel distances + per-batch D2H) "
+                             "or on-device streaming (exact at the 1/256 px "
+                             "wire resolution); auto = device for test sets "
+                             "over 64 samples")
     parser.add_argument("--flow_source", default="file",
                         choices=["file", "rigid"],
                         help="file: flow.hdf5 from any presave provider; "

@@ -1,14 +1,17 @@
-"""Timing / profiling utilities.
+"""Timing / progress utilities for the host-side epoch loop.
 
-Replaces the reference's two-level homegrown tracing (SURVEY.md §5):
-- ``StopWatch`` / ``ETA``: host-side phase timing for the epoch loop, same
-  reporting shape as the reference (model/worker.py:69-128) but WITHOUT
-  per-phase device synchronization — steps are dispatched async and only
-  block at logging boundaries.
-- The reference's per-module sync-timer (``TimedModule`` +
-  ``co.gtimer.Ctx``, model/networks.py:58-71) must not be replicated inside
-  jit (it would break fusion); use ``annotate``/``jax.profiler`` traces
-  instead: named scopes show up per-op in the TPU profile.
+Functional replacement for the reference's tracing layer (SURVEY.md §5),
+designed around how a TPU run is actually timed:
+
+- ``PhaseTimer``: named-phase wall-clock aggregation for the epoch loop.
+  Stores running aggregates (count/total/max), not per-call lists, and uses
+  the monotonic clock. No per-phase device synchronization — steps are
+  dispatched async and only block at logging boundaries.
+- ``Progress``: throughput-based elapsed/ETA strings for batch loops.
+- The reference's per-module sync-timer (``TimedModule`` + ``co.gtimer.Ctx``,
+  reference model/networks.py:58-71) must not be replicated inside jit (it
+  would break fusion); use ``annotate``/``jax.profiler`` traces instead:
+  named scopes show up per-op in the TPU profile.
 """
 
 from __future__ import annotations
@@ -16,63 +19,107 @@ from __future__ import annotations
 import atexit
 import contextlib
 import time
-from collections import OrderedDict
+from dataclasses import dataclass, field
 
-import numpy as np
 import jax
 
 
-class StopWatch:
+@dataclass
+class _PhaseStats:
+    count: int = 0
+    total: float = 0.0
+    max: float = 0.0
+
+    def record(self, dt: float):
+        self.count += 1
+        self.total += dt
+        if dt > self.max:
+            self.max = dt
+
+
+class PhaseTimer:
+    """Aggregate wall time by phase name.
+
+    Either bracket code with the ``phase`` context manager or call
+    ``begin``/``end`` when a span straddles loop boundaries (e.g. "data"
+    time between consuming one batch and the next).
+    """
+
     def __init__(self):
-        self.timings = OrderedDict()
-        self.starts = {}
+        self._stats: dict[str, _PhaseStats] = {}
+        self._open: dict[str, float] = {}
 
-    def start(self, name):
-        self.starts[name] = time.time()
+    def begin(self, name: str):
+        self._open[name] = time.monotonic()
 
-    def stop(self, name):
-        self.timings.setdefault(name, []).append(time.time() - self.starts[name])
+    def end(self, name: str):
+        t0 = self._open.pop(name, None)
+        if t0 is not None:
+            self._stats.setdefault(name, _PhaseStats()).record(
+                time.monotonic() - t0)
 
-    def get(self, name=None, reduce=np.sum):
-        if name is not None:
-            return reduce(self.timings[name])
-        return {k: reduce(v) for k, v in self.timings.items()}
+    @contextlib.contextmanager
+    def phase(self, name: str):
+        self.begin(name)
+        try:
+            yield
+        finally:
+            self.end(name)
 
-    def __str__(self):
-        return ", ".join(f"{k}: {v:f}[s]" for k, v in self.get().items())
+    def total(self, name: str) -> float:
+        return self._stats[name].total if name in self._stats else 0.0
 
-    __repr__ = __str__
+    def summary(self) -> str:
+        parts = []
+        for name, s in self._stats.items():
+            mean = s.total / s.count if s.count else 0.0
+            parts.append(f"{name} {s.total:.2f}s"
+                         f" (n={s.count}, avg {mean * 1e3:.0f}ms,"
+                         f" max {s.max * 1e3:.0f}ms)")
+        return "; ".join(parts)
+
+    __str__ = summary
 
 
-class ETA:
-    def __init__(self, length):
-        self.length = length
-        self.start_time = time.time()
-        self.current_idx = 0
-        self.current_time = time.time()
+class Progress:
+    """Elapsed/remaining time for a loop of ``total`` items.
 
-    def update(self, idx):
-        self.current_idx = idx
-        self.current_time = time.time()
+    The estimate is rate-based: remaining = items left / observed rate,
+    where the rate counts items *finished* so far.
+    """
 
-    def get_elapsed_time(self):
-        return self.current_time - self.start_time
+    def __init__(self, total: int):
+        self.total = max(int(total), 0)
+        self.done = 0
+        self._t0 = time.monotonic()
+        self._t_last = self._t0
 
-    def get_remaining_time(self):
-        per_item = self.get_elapsed_time() / (self.current_idx + 1)
-        return per_item * (self.length - self.current_idx + 1)
+    def step(self, n: int = 1):
+        """Mark ``n`` more items finished."""
+        self.done += n
+        self._t_last = time.monotonic()
+
+    def elapsed(self) -> float:
+        return self._t_last - self._t0
+
+    def remaining(self) -> float:
+        if self.done <= 0:
+            return float("inf")
+        rate = self.done / max(self.elapsed(), 1e-9)
+        return max(self.total - self.done, 0) / rate
 
     @staticmethod
-    def _fmt(seconds):
-        minutes, seconds = divmod(seconds, 60)
-        hours, minutes = divmod(minutes, 60)
-        return f"{int(hours):02d}:{int(minutes):02d}:{seconds:05.2f}"
+    def _hms(seconds: float) -> str:
+        if not (seconds < float("inf")):
+            return "--:--:--"
+        s = int(seconds)
+        return f"{s // 3600:02d}:{s // 60 % 60:02d}:{s % 60:02d}"
 
-    def get_elapsed_time_str(self):
-        return self._fmt(self.get_elapsed_time())
+    def elapsed_str(self) -> str:
+        return self._hms(self.elapsed())
 
-    def get_remaining_time_str(self):
-        return self._fmt(self.get_remaining_time())
+    def remaining_str(self) -> str:
+        return self._hms(self.remaining())
 
 
 @contextlib.contextmanager
@@ -82,34 +129,23 @@ def annotate(name: str):
         yield
 
 
-class _GlobalTimer(StopWatch):
-    """Process-exit summary timer (reference GTIMER pattern, co/gtimer.py:
-    30-47) for *host-side* phases only."""
-
-    def __del__(self):
-        pass
+class _ProcessTimer(PhaseTimer):
+    """Process-wide phase timer with an at-exit summary (host-side phases
+    only — device timing belongs to the jax profiler)."""
 
     def report(self):
-        if not self.timings:
-            return
-        print("=" * 60)
-        for k, v in self.timings.items():
-            arr = np.asarray(v)
-            print(f"[gtimer] {k}: total={arr.sum():.3f}s n={arr.size} "
-                  f"mean={arr.mean():.4f}s median={np.median(arr):.4f}s")
+        if self._stats:
+            print(f"[gtimer] {self.summary()}")
 
 
-GTIMER = _GlobalTimer()
+GTIMER = _ProcessTimer()
 atexit.register(GTIMER.report)
 
 
 @contextlib.contextmanager
 def timed(name: str):
-    GTIMER.start(name)
-    try:
+    with GTIMER.phase(name):
         yield
-    finally:
-        GTIMER.stop(name)
 
 
 def start_profiler_trace(logdir: str):

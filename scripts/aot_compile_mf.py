@@ -80,7 +80,18 @@ def main():
         print(f"temp {mem.temp_size_in_bytes/2**30:.2f}G  "
               f"arg {mem.argument_size_in_bytes/2**30:.2f}G  "
               f"out {mem.output_size_in_bytes/2**30:.2f}G")
+        if "--assert_hbm" in sys.argv:
+            # off-hardware HBM bound for the production MF config (the one
+            # with the OOM history): the TPU executable's footprint must
+            # leave headroom under the 16 GiB v5e chip
+            total = (mem.temp_size_in_bytes + mem.argument_size_in_bytes
+                     + mem.output_size_in_bytes)
+            assert total < 15 * 2 ** 30, \
+                f"MF step footprint {total / 2**30:.2f} GiB >= 15 GiB bound"
+            print(f"HBM bound OK: {total / 2**30:.2f} GiB < 15 GiB")
     except Exception as e:
+        if "--assert_hbm" in sys.argv:
+            raise
         print(f"memory_analysis unavailable: {e}")
 
 

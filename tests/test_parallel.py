@@ -148,3 +148,49 @@ def test_multihost_single_process_path():
             continue
         assert g.sharding == l.sharding, k
         np.testing.assert_array_equal(np.asarray(g), np.asarray(l))
+
+
+def test_multihost_two_process_step(tmp_path):
+    """The nproc>1 assembly path (multihost.py put_batch_global with
+    make_array_from_process_local_data) actually executes: two coordinated
+    CPU processes (4 forced host devices each -> the same 8-device global
+    mesh) each load half the batch, run one sharded SF train step, and the
+    result matches this process's single-process 8-device step on the full
+    batch."""
+    import json
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    prog = Path(__file__).parent / "_multihost_prog.py"
+    out = tmp_path / "proc0.json"
+    port = "12653"
+    env = {k: v for k, v in __import__("os").environ.items()
+           if not k.startswith(("JAX_", "XLA_"))}
+    procs = [subprocess.Popen(
+        [sys.executable, str(prog), str(i), str(out), port],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        cwd=str(prog.parent.parent), env=env) for i in range(2)]
+    outputs = []
+    for p in procs:
+        stdout, _ = p.communicate(timeout=540)
+        outputs.append(stdout.decode())
+    for p, text in zip(procs, outputs):
+        assert p.returncode == 0, text[-3000:]
+    got = json.loads(out.read_text())
+
+    # reference: same step, single process, full batch, same 8-device mesh
+    settings = _settings()
+    ctx = make_loss_context(settings, track_length=TL)
+    model = DispNet(max_disp=128.0)
+    p_ref, c_ref = _run_steps(model, ctx, "single_frame", _batch(),
+                              make_mesh())
+    np.testing.assert_allclose(np.asarray(got["comps"]), c_ref,
+                               rtol=2e-4, atol=1e-6)
+    flat_ref, _ = jax.tree.flatten(p_ref)
+    assert len(got["digest"]) == len(flat_ref)
+    for (mean_abs, total), ref in zip(got["digest"], flat_ref):
+        np.testing.assert_allclose(mean_abs, float(np.abs(ref).mean()),
+                                   rtol=5e-4, atol=5e-6)
+        np.testing.assert_allclose(total, float(ref.sum()),
+                                   rtol=5e-4, atol=ref.size * 5e-6)

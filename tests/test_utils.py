@@ -140,3 +140,40 @@ def test_flow_oor_fraction():
     wire = np.clip(np.rint(flow * 256.0), -32768, 32767).astype(np.int16)
     oor_w, n_w = flow_oor_fraction(wire, max_shift=8)
     assert (oor_w, n_w) == (oor, n)
+
+
+def test_streaming_eval_metric_matches_host_path():
+    """StreamingEvalMetric (device, histogram at wire resolution) agrees
+    with the exact host DistanceMetric/OutlierFractionMetric path on wire-
+    quantized inputs: mean/std/min/max/of{t} exactly, quantiles to 1/256."""
+    import jax.numpy as jnp
+    from depthinspace_tpu.utils.metric import StreamingEvalMetric
+
+    rng = np.random.RandomState(0)
+    tl, bs, H, W = 4, 4, 32, 24
+    met_d = StreamingEvalMetric()
+    met_h = M.MultipleMetric(
+        M.DistanceMetric(vec_length=1),
+        M.OutlierFractionMetric(vec_length=1, thresholds=[0.1, 0.5, 1, 2, 5]))
+    for i in range(3):
+        es_u16 = rng.randint(0, 40 * 256, (tl, bs, H, W)).astype(np.uint16)
+        gt = ((rng.rand(tl, bs, H, W).astype(np.float32) * 40)
+              * (rng.rand(tl, bs, H, W) > 0.2))
+        gt_u16 = np.clip(gt * 256 + 0.5, 0, 65535).astype(np.uint16)
+        n_valid = bs if i < 2 else 3       # padded eval tail
+        met_d.add(jnp.asarray(es_u16), jnp.asarray(gt_u16), n_valid)
+        es = es_u16[:, :n_valid].astype(np.float32) / 256.0
+        g = gt_u16[:, :n_valid].astype(np.float32) / 256.0
+        met_h.add((es * (g > 0)).reshape(-1, 1), g.reshape(-1, 1))
+    d, h = met_d.get(), met_h.get()
+    assert set(d) == set(h)
+    for k in h:
+        tol = 1 / 256 + 1e-9 if ("median" in k or "_q" in k) else 1e-5
+        assert abs(d[k] - h[k]) <= tol, (k, d[k], h[k])
+
+    # f32 (unencoded) gt path quantizes like the wire and stays consistent
+    met_f = StreamingEvalMetric()
+    met_f.add(jnp.asarray(es_u16), jnp.asarray(gt), bs)
+    assert abs(met_f.get()["of1"]
+               - float((np.abs(es_u16.astype(np.float32) / 256 * (gt_u16 > 0)
+                               - gt_u16.astype(np.float32) / 256) > 1).mean())) < 1e-5

@@ -127,6 +127,63 @@ def bench_train(architecture, bs, n_steps, use_pseudo_gt=False,
     return n_steps / dt, flops
 
 
+def bench_sf_e2e(n_steps=12, n_samples=64):
+    """End-to-end CLI-path SF training steps/sec: real dataset dirs through
+    the threaded DataLoader (HDF5 read + collate + wire-encode + H2D on the
+    producer thread, parallel/mesh.put_batch) feeding the jitted train step
+    — the number a user sees, including all host pipeline cost.  Skipped
+    (returns None) when no generated dataset is present."""
+    import pathlib
+    data_dir = pathlib.Path("dataset")
+    if not (data_dir / "settings.pkl").exists():
+        return None
+    sample_paths = sorted(str(p) for p in data_dir.glob("0*/"))[:n_samples]
+    if len(sample_paths) < 16:
+        return None
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from depthinspace_tpu.data import TrackDataset, DataLoader, load_settings
+    from depthinspace_tpu.data.wire import encode_batch
+    from depthinspace_tpu.models import DispNet
+    from depthinspace_tpu.parallel import put_batch
+    from depthinspace_tpu.train import (TrainState, make_loss_context,
+                                        build_steps)
+
+    settings = load_settings(data_dir / "settings.pkl")
+    ctx = make_loss_context(settings, track_length=TL, flow_source="rigid")
+    model = DispNet(max_disp=128.0)
+    opt = optax.adam(1e-4)
+    h, w = settings.imsize
+    params = model.init(jax.random.key(0), jnp.zeros((1, h, w, 2)))
+    state = TrainState.create(params, opt, jax.random.key(1))
+    train_step, _ = build_steps(model, ctx, opt, "single_frame", mesh=None)
+    epoch = jnp.asarray(0.0)
+
+    dset = TrackDataset(settings, sample_paths, train=True)
+    transform = lambda b: put_batch(encode_batch(b), None)
+
+    def run(n):
+        loader = DataLoader(dset, 8, shuffle=True, num_workers=4,
+                            drop_last=True, transform=transform)
+        nonlocal state
+        done = 0
+        for batch in loader:
+            state, comps = train_step(state, batch, epoch)
+            done += 1
+            if done >= n:
+                break
+        _sync(comps)
+        return done
+
+    run(4)                              # warmup: compile + page cache
+    t0 = time.perf_counter()
+    done = run(n_steps)
+    dt = time.perf_counter() - t0
+    return done / dt
+
+
 def bench_sf_inference(bs=32, n_iters=20):
     """Disparity maps/sec/chip: LCN preprocess + DispNet forward, finest
     scale output (the presave_disp / retest path)."""
@@ -187,6 +244,14 @@ def main():
 
     maps_ps, *_ = bench_sf_inference()
     sub["sf_infer_maps_per_sec_per_chip"] = round(maps_ps, 2)
+
+    try:
+        e2e_sps = bench_sf_e2e()
+    except Exception:
+        e2e_sps = None          # never let the e2e path sink the headline
+    if e2e_sps is not None:
+        # includes HDF5 read + wire encode + H2D on the producer thread
+        sub["sf_train_e2e_steps_per_sec"] = round(e2e_sps, 4)
 
     print(json.dumps({
         "metric": "DIS-MF train steps/sec (512x432, bs 4 tracks x 4 frames, "

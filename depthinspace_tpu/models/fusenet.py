@@ -36,6 +36,7 @@ import flax.linen as nn
 
 from ..ops.sampling import resize_bilinear, resize_flow
 from ..ops.resample import flow_warp as warp
+from ..ops.resample import flow_warp_pairs
 from .dispnet import SigmoidAffineHead
 
 
@@ -239,14 +240,20 @@ class Block2D3D(nn.Module):
             # (identical math — warp2d is independent per batch image; the
             # band-sparsity ranges are computed per image either way) so the
             # launch overhead and grid pipelining amortize across pairs.
+            # flow_warp_pairs gathers the source planes inside the kernel —
+            # each plane is warped toward tl-1 targets, so the pair-major
+            # source stack (3x the features, restacked per fusion block)
+            # never hits HBM and the backward accumulates straight into
+            # per-source gradients.
             N = f.shape[1]
-            srcs = jnp.stack([f[j] for i in range(tl)
-                              for j in order[i][1:]], axis=0)
             flows = jnp.stack([fl[i, j] for i in range(tl)
                                for j in order[i][1:]], axis=0)
             P = tl * (tl - 1)
-            w = warp(srcs.reshape(P * N, *srcs.shape[2:]),
-                     flows.reshape(P * N, *flows.shape[2:]))
+            src_idx = tuple(j * N + n for i in range(tl)
+                            for j in order[i][1:] for n in range(N))
+            w = flow_warp_pairs(f.reshape(tl * N, *f.shape[2:]),
+                                flows.reshape(P * N, *flows.shape[2:]),
+                                src_idx)
             w = w.reshape(tl, tl - 1, N, *f.shape[2:])
             return jnp.concatenate([f[:, None], w], axis=1)
 

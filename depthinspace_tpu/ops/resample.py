@@ -60,3 +60,32 @@ def flow_warp(x: jax.Array, flow: jax.Array, max_shift: int = 16) -> jax.Array:
         return warp2d(x, flow, int(max_shift))
     from .sampling import warp
     return warp(x, flow, padding="zeros")
+
+
+def flow_warp_pairs(feat: jax.Array, flow: jax.Array, src_idx,
+                    max_shift: int = 16) -> jax.Array:
+    """Pair-indexed flow warp: out[m] = warp(feat[src_idx[m]], flow[m]).
+
+    feat (S,H,W,C); flow (M,H,W,2); src_idx a static index sequence with
+    every source appearing equally often (the all-pairs track layout).  On
+    TPU the source gather happens inside the Pallas kernel
+    (ops/pallas/warp2d_pairs.py) so the pair-major source stack is never
+    materialized; elsewhere it falls back to an explicit take + gather warp.
+    The kernel path is opt-in (DIS_WARP_PAIRS=1) until its on-hardware
+    Mosaic lowering + win is confirmed (scripts/bench_warp_pairs.py);
+    default = stacked warp2d_v2."""
+    import os
+    src_idx = tuple(int(s) for s in src_idx)
+    flow = jax.lax.stop_gradient(flow)
+    if (_on_tpu() and feat.shape[1] % 8 == 0
+            and os.environ.get("DIS_WARP_PAIRS") == "1"):
+        from .pallas.warp2d_pairs import warp2d_pairs
+        flow = flow.astype(jnp.float32)
+        if feat.dtype not in (jnp.float32, jnp.bfloat16):
+            return warp2d_pairs(feat.astype(jnp.float32), flow, src_idx,
+                                int(max_shift)).astype(feat.dtype)
+        return warp2d_pairs(feat, flow, src_idx, int(max_shift))
+    # static-index stack of slices (NOT jnp.take: dynamic-gather lowerings
+    # are pathologically slow on this TPU stack, ops/pallas/warp_kernel.py)
+    stacked = jnp.stack([feat[s] for s in src_idx], axis=0)
+    return flow_warp(stacked, flow, max_shift)

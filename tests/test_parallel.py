@@ -173,7 +173,7 @@ def test_multihost_two_process_step(tmp_path):
         cwd=str(prog.parent.parent), env=env) for i in range(2)]
     outputs = []
     for p in procs:
-        stdout, _ = p.communicate(timeout=540)
+        stdout, _ = p.communicate(timeout=1500)  # 1-core box under load
         outputs.append(stdout.decode())
     for p, text in zip(procs, outputs):
         assert p.returncode == 0, text[-3000:]

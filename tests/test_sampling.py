@@ -135,3 +135,47 @@ def test_warp2d_v2_bf16_interpret():
         np.testing.assert_allclose(np.asarray(g16, np.float32),
                                    np.asarray(vjp32(g)[0]),
                                    rtol=0, atol=3e-2)
+
+
+def test_warp2d_pairs_matches_v2_interpret():
+    """warp2d_pairs (in-kernel source gather) vs warp2d_v2 on explicitly
+    stacked sources: same outputs per pair, and the feat gradient equals
+    the per-source sum of v2's pair gradients.  TPU interpret mode on CPU."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+    from depthinspace_tpu.ops.pallas.warp2d_v2 import warp2d_v2
+    from depthinspace_tpu.ops.pallas.warp2d_pairs import warp2d_pairs
+
+    S, H, W, C = 4, 16, 12, 4
+    # all-pairs track layout: target-major (i, j != i), every source 3 times
+    pairs = [(i, j) for i in range(S) for j in range(S) if j != i]
+    src_idx = tuple(j for _, j in pairs)
+    M = len(pairs)
+    rng = np.random.RandomState(11)
+    feat = jnp.asarray(rng.rand(S, H, W, C).astype(np.float32))
+    flow = jnp.asarray(rng.uniform(-5, 5, (M, H, W, 2)).astype(np.float32))
+    g = jnp.asarray(rng.rand(M, H, W, C).astype(np.float32))
+
+    with pltpu.force_tpu_interpret_mode():
+        stacked = jnp.stack([feat[j] for j in src_idx])
+        ref = jax.jit(lambda s, f: warp2d_v2(s, f, 16))(stacked, flow)
+        out = jax.jit(lambda x, f: warp2d_pairs(x, f, src_idx, 16))(feat, flow)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+        # gradient: pairs kernel accumulates per source; oracle = stack VJP
+        _, vjp_p = jax.vjp(lambda x: warp2d_pairs(x, flow, src_idx, 16), feat)
+        _, vjp_s = jax.vjp(
+            lambda x: warp2d_v2(jnp.stack([x[j] for j in src_idx]), flow, 16),
+            feat)
+        np.testing.assert_allclose(np.asarray(vjp_p(g)[0]),
+                                   np.asarray(vjp_s(g)[0]),
+                                   rtol=1e-5, atol=1e-5)
+
+    # bf16 path: dtype preserved, values track f32 within quantization
+    with pltpu.force_tpu_interpret_mode():
+        out16 = jax.jit(lambda x, f: warp2d_pairs(x, f, src_idx, 16))(
+            feat.astype(jnp.bfloat16), flow)
+        assert out16.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(out16, np.float32),
+                                   np.asarray(out), rtol=0, atol=1.5e-2)

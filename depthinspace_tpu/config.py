@@ -64,6 +64,7 @@ class RunConfig:
     learning_rate: float = 1e-4
     save_frequency: int = 1
     max_train_iter: int = -1
+    test_samples: int = -1                  # cap eval-split size (-1 = all)
     write_debug_images: bool = True
     # device
     use_mesh: bool = True                   # data-parallel over all devices
@@ -92,4 +93,6 @@ class RunConfig:
             eval_metrics=getattr(args, "eval_metrics", "auto"),
             flow_source=getattr(args, "flow_source", "file"),
             geo_max_shift=getattr(args, "geo_max_shift", 16),
+            max_train_iter=getattr(args, "max_train_iter", -1),
+            test_samples=getattr(args, "test_samples", -1),
         )

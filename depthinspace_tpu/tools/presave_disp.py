@@ -166,6 +166,12 @@ def main(argv=None):
                     help="multi_frame only: rigid computes flow in-graph "
                          "from GT disparity + poses (synthetic data; no "
                          "flow.hdf5 needed)")
+    ap.add_argument("--ranges", default=None,
+                    help="comma-separated lo:hi index ranges into the "
+                         "sorted sample list to presave (e.g. "
+                         "'512:640,1024:2048'); default: every sample. "
+                         "Skipping splits no downstream stage reads cuts "
+                         "the host-bound runtime proportionally")
     args = ap.parse_args(argv)
 
     enable_compilation_cache()
@@ -191,6 +197,12 @@ def main(argv=None):
 
     sample_dirs = sorted(p for p in data_root.iterdir()
                          if p.is_dir() and (p / "frames.hdf5").exists())
+    if args.ranges:
+        keep = []
+        for rng in args.ranges.split(","):
+            lo, hi = (int(v) for v in rng.split(":"))
+            keep.extend(sample_dirs[lo:hi])
+        sample_dirs = sorted(set(keep), key=str)
     for lo in range(0, len(sample_dirs), B):
         group = sample_dirs[lo:lo + B]
         data = [_read_sample(s, args.architecture, args.flow_source)

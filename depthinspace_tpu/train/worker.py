@@ -121,6 +121,10 @@ class Worker:
             self.train_paths = [p for p in sample_paths
                                 if p not in self.test_paths]
             self.valid_paths = []
+        if cfg.test_samples > 0:
+            # deterministic prefix: trajectories stay comparable per epoch
+            self.test_paths = self.test_paths[:cfg.test_samples]
+            self.valid_paths = self.valid_paths[:cfg.test_samples]
 
         self.exp_dir = Path(cfg.output_dir) / cfg.architecture
         self.exp_dir.mkdir(parents=True, exist_ok=True)

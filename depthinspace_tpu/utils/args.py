@@ -87,6 +87,18 @@ def parse_args(argv=None):
                              "metrics.json) — raise this if that fraction "
                              "is non-negligible (cost grows ~linearly)",
                         default=16, type=int)
+    parser.add_argument("--max_train_iter",
+                        help="Cap train steps per epoch (-1 = full pass); "
+                             "bounds wall-clock per epoch on time-boxed "
+                             "runs — an 'epoch' then sees "
+                             "batch_size*max_train_iter samples",
+                        default=-1, type=int)
+    parser.add_argument("--test_samples",
+                        help="Evaluate on the first N samples of each test "
+                             "split instead of all of it (-1 = all); the "
+                             "subset is deterministic so metric "
+                             "trajectories stay comparable across epochs",
+                        default=-1, type=int)
     parser.add_argument("--mf_dtype",
                         help="FuseNet compute dtype (params/losses stay f32); "
                              "bfloat16 halves HBM and enables the reference "

@@ -20,7 +20,13 @@ MF_EPOCHS=${3:-10}
 FTSF_EPOCHS=${4:-10}
 
 FLOW="--flow_source rigid"
-EVAL="--test_batch_size 16 --test_frequency 2"
+# eval on a fixed 128-sample prefix of the test split every 2 epochs:
+# same metric keys, deterministic subset, ~4x cheaper per point (the
+# full 512-sample retest can be run afterwards with --cmd retest)
+EVAL="--test_batch_size 16 --test_frequency 2 --test_samples 128"
+# MF half-pass epochs (128 steps of bs=4): twice the eval points per
+# wall-clock minute; documented in STATUS.md
+MF_ITER="--max_train_iter 128"
 FTSF_RESERVE=900          # presave-MF + FTSF floor (s)
 
 remaining() { echo $(( DEADLINE - $(date +%s) )); }
@@ -38,8 +44,13 @@ SF_LAST=$(last_epoch single_frame)
 echo "=== stage 1 done: SF last epoch $SF_LAST ($(remaining)s left)"
 [ -z "$SF_LAST" ] && { echo "no SF checkpoint; aborting"; exit 1; }
 
+# presave only the splits later stages read: train [1024:2048] + the
+# 128-sample eval prefix of the test split [512:640] (--test_samples 128)
+RANGES="--ranges 512:640,1024:2048"
+
 echo "=== stage 2: presave SF disparities (epoch $SF_LAST)"
-python -m depthinspace_tpu.tools.presave_disp single_frame --epoch "$SF_LAST"
+python -m depthinspace_tpu.tools.presave_disp single_frame \
+    --epoch "$SF_LAST" $RANGES
 
 MF_BUDGET=$(( $(remaining) - FTSF_RESERVE ))
 if [ "$MF_BUDGET" -gt 120 ]; then
@@ -47,7 +58,7 @@ if [ "$MF_BUDGET" -gt 120 ]; then
     timeout "$MF_BUDGET" \
         python train_val.py --architecture multi_frame --cmd retrain \
             --epochs "$MF_EPOCHS" --train_batch_size 4 --mf_remat false \
-            $FLOW $EVAL
+            $MF_ITER $FLOW $EVAL
     MF_LAST=$(last_epoch multi_frame)
     echo "=== stage 3 done: MF last epoch ${MF_LAST:-none} ($(remaining)s left)"
 else
@@ -57,10 +68,14 @@ fi
 if [ -n "${MF_LAST:-}" ]; then
     echo "=== stage 4: presave MF disparities (epoch $MF_LAST)"
     python -m depthinspace_tpu.tools.presave_disp multi_frame \
-        --epoch "$MF_LAST" --flow_source rigid
+        --epoch "$MF_LAST" --flow_source rigid $RANGES
 
+    # archive the self-supervised SF run and reset the dir so the FTSF
+    # stage (same output contract as the reference, model/worker.py:183)
+    # starts with clean metrics.json / checkpoints
     rm -rf output/single_frame_selfsup
-    cp -r output/single_frame output/single_frame_selfsup
+    mv output/single_frame output/single_frame_selfsup
+    mkdir -p output/single_frame
 
     FTSF_BUDGET=$(( $(remaining) - 60 ))
     if [ "$FTSF_BUDGET" -gt 120 ]; then

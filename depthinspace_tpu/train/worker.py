@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import datetime
 import itertools
+import os
 import json
 import logging
 import random
@@ -256,7 +257,11 @@ class Worker:
             n_valid = enc.im.shape[1]
             if for_eval:
                 enc, n_valid = pad_batch(enc, self.mesh_size)
-            dev = put_batch(enc, self.mesh)
+            # DIS_SYNC_PUT=1: leave the batch on the host; the consumer
+            # transfers it synchronously (escape hatch if overlapping
+            # device_put with step execution misbehaves on a backend)
+            dev = (enc if os.environ.get("DIS_SYNC_PUT") == "1"
+                   else put_batch(enc, self.mesh))
             return _Loaded(dev, enc if for_eval else None, n_valid, oor)
 
         return transform
@@ -333,6 +338,8 @@ class Worker:
             if loaded.oor is not None:
                 oor_acc += loaded.oor
             batch = loaded.batch     # encoded + device_put on loader thread
+            if isinstance(batch.im, np.ndarray):      # DIS_SYNC_PUT path
+                batch = put_batch(batch, self.mesh)
             sw.end("data")
             sw.begin("step")
             state, comps = self.train_step(state, batch, epoch_arr)
@@ -425,6 +432,8 @@ class Worker:
         for batch_idx, loaded in enumerate(loader):
             batch, host_batch, n_valid = (loaded.batch, loaded.host,
                                           loaded.n_valid)
+            if isinstance(batch.im, np.ndarray):      # DIS_SYNC_PUT path
+                batch = put_batch(batch, self.mesh)
             disp0, comps = self.eval_step(params, batch, epoch_arr)
 
             if on_device:

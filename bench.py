@@ -14,19 +14,26 @@ All timings hard-sync via a device->host copy (np.asarray): on this
 backend jax.block_until_ready can return before execution completes.
 
 vs_baseline: the reference publishes no throughput numbers (BASELINE.md).
-The denominator is an engineering estimate of the reference PyTorch DIS-MF
-pipeline at bs=4 on its documented 24 GB-GPU class: ~1.0 train steps/sec
-(eager per-phase execution, python-loop Conv3D/unfold/topk fusion blocks
-with activation checkpointing). Treat vs_baseline as indicative; the MFU
-figure is the hardware-anchored number.
+The denominator is DERIVED (BASELINE.md "Derived A100 baseline"): step
+FLOPs from XLA cost analysis of this model (MF 5.75 TFLOP/step bs=4, SF
+2.85 TFLOP/step bs=8; MF x1.3 for the reference's activation-checkpoint
+recompute), an A100 at an assumed 10% achieved TF32 utilization for the
+reference's eager PyTorch op mix (generous — measured eager ResNet-50 is
+~13-15% on ideal large convs; DIS-MF is small convs + 12 grid_samples +
+unfold/topk), and the driver's north star "v5e-8 >= 4x A100" allocated
+per chip:
+  MF: 7.5e12 / 15.6e12 -> 2.08 steps/s (A100) -> x4 / 8 chips = 1.04/chip
+  SF: 2.85e12 / 15.6e12 -> 5.47 steps/s (A100) -> x4 / 8 chips = 2.74/chip
+vs_baseline = measured per-chip steps/s over that per-chip target; the MFU
+figure is the directly hardware-anchored number.
 """
 import json
 import time
 
 import numpy as np
 
-BASELINE_MF_STEPS_PER_SEC = 1.0   # estimated reference DIS-MF throughput
-BASELINE_SF_STEPS_PER_SEC = 2.0   # estimated reference DIS-SF throughput
+BASELINE_MF_STEPS_PER_SEC = 1.04  # derived per-chip target (BASELINE.md)
+BASELINE_SF_STEPS_PER_SEC = 2.74  # derived per-chip target (BASELINE.md)
 V5E_BF16_PEAK_FLOPS = 197e12
 
 H, W = 512, 432

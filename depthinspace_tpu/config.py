@@ -59,6 +59,12 @@ class RunConfig:
     # (device for test sets > 64 samples)
     eval_metrics: str = "auto"              # auto | exact | device
     flow_source: str = "file"               # file | rigid (in-graph, synthetic)
+    # serve batches from the pre-encoded wire_cache/ memmaps when present
+    # (data/cache.py — the single-core loader fast path); falls back to the
+    # HDF5 TrackDataset when the cache or a required field is missing
+    wire_cache: bool = True
+    # scale-s photometric at 1/2^s res (train/objective.py::LossContext)
+    photometric_pyramid: bool = True
     geo_max_shift: int = 16                 # flow-warp enumeration half-width
     seed: int = 42
     learning_rate: float = 1e-4
@@ -92,6 +98,8 @@ class RunConfig:
             test_frequency=getattr(args, "test_frequency", 1),
             eval_metrics=getattr(args, "eval_metrics", "auto"),
             flow_source=getattr(args, "flow_source", "file"),
+            wire_cache=getattr(args, "wire_cache", True),
+            photometric_pyramid=getattr(args, "photometric_pyramid", True),
             geo_max_shift=getattr(args, "geo_max_shift", 16),
             max_train_iter=getattr(args, "max_train_iter", -1),
             test_samples=getattr(args, "test_samples", -1),

@@ -99,7 +99,7 @@ def photometric_loss(disp: jax.Array, im: jax.Array, pattern: jax.Array,
                      std: jax.Array | None = None,
                      block_size: int = 9, eps: float = 0.5,
                      census_fn: Callable = _census_auto,
-                     output_mean: bool = True):
+                     output_mean: bool = True, max_disp: int = 128):
     """Census photometric loss between warped pattern and IR image.
 
     Args:
@@ -114,7 +114,7 @@ def photometric_loss(disp: jax.Array, im: jax.Array, pattern: jax.Array,
       (loss_scalar_or_map, pattern_proj); loss = sum(mask*diff)/sum(mask) when
       output_mean, else the raw per-pixel diff map.
     """
-    pattern_proj = warp_pattern_by_disparity(pattern, disp)
+    pattern_proj = warp_pattern_by_disparity(pattern, disp, max_disp)
     diff = census_fn(pattern_proj, im, block_size, eps)
     if std is not None:
         mask = std

@@ -195,7 +195,10 @@ def main(argv=None):
     with open(model_path, "rb") as f:
         params = serialization.from_bytes(template, f.read())
 
-    sample_dirs = sorted(p for p in data_root.iterdir()
+    # enumerate with the worker's split pattern (train/worker.py:109,
+    # glob('0*/')) so --ranges indices are guaranteed aligned with the
+    # train/test split; a stray non-'0*' dir must not shift the ranges
+    sample_dirs = sorted(p for p in data_root.glob("0*")
                          if p.is_dir() and (p / "frames.hdf5").exists())
     if args.ranges:
         keep = []
@@ -236,6 +239,15 @@ def main(argv=None):
                   flush=True)
     print(f"wrote {args.architecture}_disp.hdf5 for {len(sample_dirs)} "
           f"samples")
+
+    # refresh the wire cache's derived field so cached MF/FTSF runs see the
+    # NEW disparities, not a stale earlier presave (data/cache.py)
+    from ..data.cache import build_wire_cache, CACHE_DIR_NAME
+    if (data_root / CACHE_DIR_NAME / "meta.json").exists():
+        field = ("primary_disp" if args.architecture == "single_frame"
+                 else "pseudo_gt")
+        build_wire_cache(data_root, fields=[field], force=True)
+        print(f"wire cache field {field!r} refreshed")
 
 
 if __name__ == "__main__":

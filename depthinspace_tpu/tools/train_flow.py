@@ -174,9 +174,12 @@ def main(argv=None):
                   f"epe {float(train_epe):.3f}px  "
                   f"({time.time() - t0:.0f}s)", flush=True)
 
-    # validation: learned vs Farneback EPE on held-out pairs
+    # validation: learned vs Farneback vs the ZERO-FLOW no-skill baseline.
+    # The zero row is the honesty control (VERDICT r3): any provider that
+    # does not beat "predict no motion" by a wide margin is adding noise,
+    # not signal, to the MF geometric loss.
     vrng = np.random.RandomState(12345)
-    learned_epes, farneback_epes = [], []
+    learned_epes, farneback_epes, zero_epes = [], [], []
     for sample in val:
         a, b, fl_gt = load_pair(sample, K, baseline, focal, vrng)
         pred = np.asarray(infer(params, jnp.asarray(a[None, ..., None]),
@@ -186,8 +189,10 @@ def main(argv=None):
         fb = np.moveaxis(farneback_flow(a, b), 0, -1)
         farneback_epes.append(
             float(np.mean(np.linalg.norm(fb - fl_gt, axis=-1))))
+        zero_epes.append(float(np.mean(np.linalg.norm(fl_gt, axis=-1))))
     print(f"val EPE  learned {np.mean(learned_epes):.3f}px  "
           f"farneback {np.mean(farneback_epes):.3f}px  "
+          f"zero-flow {np.mean(zero_epes):.3f}px  "
           f"({len(val)} held-out samples)")
 
     save_params(params, out_path)

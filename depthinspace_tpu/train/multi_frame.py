@@ -39,6 +39,11 @@ class MultiFrameWorker(Worker):
             zeros((tl, 1, 3)), zeros((tl, tl, 1, H, W, 2)))
 
     def _dataset(self, paths, train):
+        cached = self.cached_dataset(
+            paths, train, load_primary=True,
+            load_pseudo_gt=(not train) and self.cfg.use_pseudo_gt)
+        if cached is not None:
+            return cached
         return TrackDataset(
             self.settings, paths, train=train,
             data_aug=train and not self.cfg.device_augment,

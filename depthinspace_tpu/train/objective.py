@@ -69,14 +69,42 @@ class LossContext(NamedTuple):
     # static synthetic scenes and removes the largest host->device
     # transfer (the (tl,tl,H,W,2) flow block is ~60% of batch bytes)
     flow_source: str = "file"
+    # Photometric pyramid (SF): compute the scale-s photometric term at
+    # 1/2^s resolution (disparity values rescaled, per-scale LCN'd image +
+    # pattern) instead of full resolution.  The 9x9 census basin is ~±4 px,
+    # so full-res terms at every scale (what the reference's worker ends up
+    # doing — it builds per-scale ph_losses at per-scale imsizes,
+    # single_frame_worker.py:62-71, then indexes ph_losses[0] for ALL
+    # scales, :115) leave any pixel >4 px from its target without
+    # photometric gradient; evaluating scale s at 1/2^s res widens capture
+    # to ±4*2^s px (the CTD-style coarse-to-fine the per-scale loss list
+    # was built for).
+    photometric_pyramid: bool = True
+    # per-scale LCN'd patterns for scales 1..3 (filled by make_loss_context
+    # when photometric_pyramid; threaded through jit as arguments)
+    pattern_pyr: Optional[tuple] = None
 
 
 def make_loss_context(settings, track_length=4, **kwargs) -> LossContext:
+    from ..ops.sampling import resize_bilinear
+
     H, W = settings.imsize
     cam = CameraGeometry.create(settings.K, H, W)
-    pat_lcn, _ = lcn(jnp.asarray(settings.pattern_gray()),
-                     kwargs.get("lcn_radius", 5), 0.05)
-    return LossContext(cam=cam, pattern_lcn=pat_lcn,
+    radius = kwargs.get("lcn_radius", 5)
+    pat_raw = jnp.asarray(settings.pattern_gray())
+    pat_lcn, _ = lcn(pat_raw, radius, 0.05)
+    pattern_pyr = None
+    if kwargs.get("photometric_pyramid", True):
+        # per-scale patterns: downsample the RAW pattern, then LCN — the
+        # reference's per-scale construction order (its dataset pyramid is
+        # resized raw images, LCN applied after; single_frame_worker.py:62-67)
+        pyr = []
+        for s in (1, 2, 3):
+            p_s = resize_bilinear(pat_raw[None, :, :, None], H >> s, W >> s,
+                                  align_corners=False)[0, :, :, 0]
+            pyr.append(lcn(p_s, radius, 0.05)[0])
+        pattern_pyr = tuple(pyr)
+    return LossContext(cam=cam, pattern_lcn=pat_lcn, pattern_pyr=pattern_pyr,
                        focal_length=settings.focal_length,
                        baseline=settings.baseline,
                        track_length=track_length, **kwargs)
@@ -216,10 +244,23 @@ def sf_losses(outs, batch, ctx: LossContext, *, train: bool,
     _, im_lcn, im_std, amb = preprocess_images(batch, ctx.lcn_radius)
 
     comps = []
-    # photometric, all scales
+    # photometric, all scales (pyramid: scale s at 1/2^s resolution with
+    # rescaled disparities — see LossContext.photometric_pyramid)
+    from ..ops.sampling import resize_bilinear
+    im_raw = batch.im.reshape(tl * bs, H, W)
     for s, o in enumerate(outs):
-        val, _ = photometric_loss(o[..., 0], im_lcn, ctx.pattern_lcn,
-                                  std=im_std)
+        if s == 0 or not ctx.photometric_pyramid:
+            val, _ = photometric_loss(o[..., 0], im_lcn, ctx.pattern_lcn,
+                                      std=im_std)
+        else:
+            h_s, w_s = H >> s, W >> s
+            im_s = resize_bilinear(im_raw[..., None], h_s, w_s,
+                                   align_corners=False)[..., 0]
+            im_lcn_s, std_s = lcn(im_s, ctx.lcn_radius, 0.05)
+            disp_s = resize_bilinear(o, h_s, w_s,
+                                     align_corners=False)[..., 0] / (2 ** s)
+            val, _ = photometric_loss(disp_s, im_lcn_s, ctx.pattern_pyr[s - 1],
+                                      std=std_s, max_disp=128 >> s)
         comps.append(val / (2 ** s))
     # smoothness, scale 0
     comps.append(ctx.smooth_weight_sf * smoothness_loss(outs[0][..., 0], amb))

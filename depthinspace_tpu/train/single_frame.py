@@ -27,6 +27,10 @@ class SingleFrameWorker(Worker):
                                jnp.zeros((1, H, W, 2)))
 
     def _dataset(self, paths, train):
+        cached = self.cached_dataset(paths, train,
+                                     load_pseudo_gt=self.cfg.use_pseudo_gt)
+        if cached is not None:
+            return cached
         return TrackDataset(
             self.settings, paths, train=train,
             data_aug=train and not self.cfg.device_augment,

@@ -63,8 +63,8 @@ def _make_step_fns(model, ctx: LossContext,
     # grid) must be *arguments* of the jitted step, not closed-over
     # constants — gathers on closure constants fall into XLA's slow flat
     # dynamic-gather lowering (~2000x, measured in scripts/bench_loss.py).
-    consts = (ctx.cam, ctx.pattern_lcn)
-    static_ctx = ctx._replace(cam=None, pattern_lcn=None)
+    consts = (ctx.cam, ctx.pattern_lcn, ctx.pattern_pyr)
+    static_ctx = ctx._replace(cam=None, pattern_lcn=None, pattern_pyr=None)
 
     def _prepare(batch: Batch, ctx_full: LossContext) -> Batch:
         if ctx.flow_source == "rigid":
@@ -75,8 +75,9 @@ def _make_step_fns(model, ctx: LossContext,
 
     def train_step(state: TrainState, batch: Batch, epoch, consts):
         batch = decode_batch(batch)      # 16-bit wire fields -> f32 (no-op
-        cam, pattern_lcn = consts        # for f32 inputs; see data/wire.py)
-        ctx_full = static_ctx._replace(cam=cam, pattern_lcn=pattern_lcn)
+        cam, pattern_lcn, pattern_pyr = consts   # (f32 inputs pass through
+        ctx_full = static_ctx._replace(cam=cam, pattern_lcn=pattern_lcn,
+                                       pattern_pyr=pattern_pyr)
         rng, step_rng, aug_rng = jax.random.split(state.rng, 3)
         if ctx.augment:
             batch = augment_batch_device(batch, aug_rng, ctx_full)
@@ -99,8 +100,9 @@ def _make_step_fns(model, ctx: LossContext,
 
     def eval_step(params, batch: Batch, epoch, consts):
         batch = decode_batch(batch)
-        cam, pattern_lcn = consts
-        ctx_full = static_ctx._replace(cam=cam, pattern_lcn=pattern_lcn)
+        cam, pattern_lcn, pattern_pyr = consts
+        ctx_full = static_ctx._replace(cam=cam, pattern_lcn=pattern_lcn,
+                                       pattern_pyr=pattern_pyr)
         batch = _prepare(batch, ctx_full)
         outs = forward(model, params, batch, ctx_full)
         _, comps = losses(outs, batch, ctx_full, train=False, epoch=epoch,

@@ -148,7 +148,8 @@ class Worker:
             data_type=cfg.data_type, warmup_epochs=cfg.warmup_epochs,
             use_pseudo_gt=cfg.use_pseudo_gt, lcn_radius=cfg.lcn_radius,
             augment=cfg.device_augment, flow_source=cfg.flow_source,
-            geo_max_shift=cfg.geo_max_shift)
+            geo_max_shift=cfg.geo_max_shift,
+            photometric_pyramid=cfg.photometric_pyramid)
         if cfg.flow_source == "rigid":
             assert cfg.data_type == "synthetic", \
                 "--flow_source rigid needs GT disparity (synthetic data)"
@@ -235,6 +236,37 @@ class Worker:
         if self.mesh is not None:
             state = replicate_pytree(state, self.mesh)
         return state
+
+    def cached_dataset(self, paths, train: bool, load_primary: bool = False,
+                       load_pseudo_gt: bool = False):
+        """Wire-cache fast path (data/cache.py) when the config allows it
+        and the cache holds every required field; None -> caller falls back
+        to the HDF5 TrackDataset."""
+        from ..data.cache import (CachedTrackDataset, has_wire_cache,
+                                  BASE_FIELDS)
+        if not self.cfg.wire_cache or self.cfg.flow_source == "file":
+            return None            # file flow is not cached (too large)
+        if train and not self.cfg.device_augment:
+            return None            # host augmentation needs the HDF5 path
+        load_sgm = self.cfg.data_type == "real"
+        fields = list(BASE_FIELDS)
+        fields += ["primary_disp"] if load_primary else []
+        fields += ["pseudo_gt"] if load_pseudo_gt else []
+        fields += ["sgm_disp"] if load_sgm else []
+        if not has_wire_cache(self.cfg.data_dir, fields):
+            return None
+        names = [Path(p).name for p in paths]
+        try:
+            dset = CachedTrackDataset(
+                self.cfg.data_dir, names, track_length=self.cfg.track_length,
+                train=train, load_primary=load_primary,
+                load_pseudo_gt=load_pseudo_gt, load_sgm=load_sgm)
+        except FileNotFoundError as e:
+            logging.info(f"wire cache unusable ({e}); using HDF5 loader")
+            return None
+        logging.info(f"using wire cache for {'train' if train else 'test'} "
+                     f"split ({len(dset)} samples)")
+        return dset
 
     # ---------------------------------------------------- host pipeline
     def _host_transform(self, for_eval: bool = False):

@@ -52,6 +52,17 @@ def parse_args(argv=None):
                              "step on the accelerator instead of in CPU "
                              "loader workers",
                         default=True, type=str2bool)
+    parser.add_argument("--photometric_pyramid",
+                        help="Compute the scale-s photometric loss at "
+                             "1/2^s resolution (coarse-to-fine capture "
+                             "range; see train/objective.py). false = the "
+                             "reference worker's full-res-at-every-scale "
+                             "behavior",
+                        default=True, type=str2bool)
+    parser.add_argument("--wire_cache",
+                        help="Serve batches from the pre-encoded wire "
+                             "cache when present (data/cache.py)",
+                        default=True, type=str2bool)
     parser.add_argument("--test_frequency",
                         help="Evaluate every N epochs", default=1, type=int)
     parser.add_argument("--test_batch_size",

@@ -1,0 +1,157 @@
+"""Decisive trainer-learns experiment: overfit DIS-SF on a few samples.
+
+VERDICT r3 item 1: the 2048-sample parity run's photometric loss was nearly
+flat over ~1k steps; this either means "1% of the reference's 102k-step
+schedule looks flat" or "training bug".  The cheapest experiment that
+distinguishes the two: overfit on 8-16 samples for thousands of steps with
+fixed batches held on device (one compile, one in-process program — the
+shape this backend's compile-cache behavior favors, CLAUDE.md).  If the
+self-supervised losses work, census loss must collapse and o(1)/dist2 on
+the training samples must drop far below the 0.40/2.66 plateau.
+
+Usage:
+  python scripts/overfit_sf.py --samples 16 --steps 5000 \
+      --log output/overfit_sf.json
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data_dir", default="/root/repo/dataset")
+    ap.add_argument("--samples", type=int, default=16)
+    ap.add_argument("--offset", type=int, default=1024,
+                    help="first sample index (1024 = train-split start)")
+    ap.add_argument("--steps", type=int, default=5000)
+    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--eval_every", type=int, default=250)
+    ap.add_argument("--log_every", type=int, default=50)
+    ap.add_argument("--log", default="/root/repo/output/overfit_sf.json")
+    ap.add_argument("--platform", default=None,
+                    help="force jax platform (e.g. cpu for smoke tests)")
+    ap.add_argument("--geo_max_shift", type=int, default=16)
+    ap.add_argument("--photometric_pyramid", default="true",
+                    help="true/false: scale-s photometric at 1/2^s res")
+    args = ap.parse_args()
+    args.photometric_pyramid = args.photometric_pyramid.lower() != "false"
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+    import optax
+
+    from depthinspace_tpu.data import TrackDataset, load_settings
+    from depthinspace_tpu.data.dataset import collate
+    from depthinspace_tpu.data.wire import encode_batch, decode_disp_np
+    from depthinspace_tpu.models import DispNet
+    from depthinspace_tpu.parallel import put_batch
+    from depthinspace_tpu.train.objective import make_loss_context
+    from depthinspace_tpu.train.steps import build_steps
+    from depthinspace_tpu.train.state import TrainState
+    from depthinspace_tpu.utils.jaxcfg import enable_compilation_cache
+
+    enable_compilation_cache()
+    print(f"devices: {jax.devices()}", flush=True)
+
+    data_dir = Path(args.data_dir)
+    settings = load_settings(data_dir / "settings.pkl")
+    paths = sorted(str(p) for p in data_dir.glob("0*/"))
+    paths = paths[args.offset:args.offset + args.samples]
+    assert len(paths) == args.samples, f"only {len(paths)} samples available"
+
+    # deterministic frames (train=False picks the first track_length frames,
+    # no augmentation) -> the batches are literally constant across steps
+    dset = TrackDataset(settings, paths, train=False, data_aug=False,
+                        load_flow=False)
+    n_batches = args.samples // args.batch_size
+    assert n_batches * args.batch_size == args.samples
+
+    host_batches, dev_batches, gts = [], [], []
+    for b in range(n_batches):
+        samples = [dset[i] for i in range(b * args.batch_size,
+                                          (b + 1) * args.batch_size)]
+        hb = collate(samples)
+        gts.append(hb.disp_gt.copy())
+        enc = encode_batch(hb)
+        dev_batches.append(put_batch(enc, None))
+        host_batches.append(hb)
+    print(f"{n_batches} fixed batches of {args.batch_size} on device",
+          flush=True)
+
+    model = DispNet(max_disp=128.0)
+    ctx = make_loss_context(settings, track_length=4, flow_source="rigid",
+                            augment=False, geo_max_shift=args.geo_max_shift,
+                            photometric_pyramid=args.photometric_pyramid)
+    optimizer = optax.adam(args.lr)
+    train_step, eval_step = build_steps(model, ctx, optimizer, "single_frame")
+
+    H, W = settings.imsize
+    params = model.init(jax.random.key(42), jnp.zeros((1, H, W, 2)))
+    state = TrainState.create(params, optimizer, jax.random.key(42))
+
+    epoch0 = jnp.asarray(0.0, jnp.float32)
+
+    def evaluate(params, step, log):
+        o1s, dists, phs = [], [], []
+        for db, gt in zip(dev_batches, gts):
+            disp_u16, comps = eval_step(params, db, epoch0)
+            es = decode_disp_np(np.asarray(disp_u16))
+            comps = np.asarray(comps)
+            m = gt > 0
+            err = np.abs(es - gt)[m]
+            o1s.append(float(np.mean(err > 1.0)))
+            dists.append(float(np.mean(err)))
+            phs.append(float(comps[0]))
+        rec = {"step": step, "o1": float(np.mean(o1s)),
+               "dist2_mean": float(np.mean(dists)),
+               "ph0_eval": float(np.mean(phs))}
+        log["eval"].append(rec)
+        print(f"[eval] step {step}: o(1)={rec['o1']:.4f} "
+              f"dist2={rec['dist2_mean']:.4f} ph0={rec['ph0_eval']:.5f}",
+              flush=True)
+
+    log = {"args": vars(args), "train": [], "eval": []}
+    evaluate(state.params, 0, log)
+
+    t0 = time.time()
+    comps = None
+    for step in range(1, args.steps + 1):
+        state, comps = train_step(state, dev_batches[(step - 1) % n_batches],
+                                  epoch0)
+        if step % args.log_every == 0 or step == 1:
+            c = np.asarray(comps)      # sync point
+            rate = step / (time.time() - t0)
+            rec = {"step": step, "comps": [float(x) for x in c],
+                   "total": float(c.sum())}
+            log["train"].append(rec)
+            print(f"step {step}/{args.steps}: loss={c.sum():.5f} "
+                  f"[{' '.join(f'{x:.5f}' for x in c)}] {rate:.2f} it/s",
+                  flush=True)
+        if step % args.eval_every == 0:
+            evaluate(state.params, step, log)
+            Path(args.log).parent.mkdir(parents=True, exist_ok=True)
+            with open(args.log, "w") as fp:
+                json.dump(log, fp, indent=1)
+
+    with open(args.log, "w") as fp:
+        json.dump(log, fp, indent=1)
+    first, last = log["eval"][0], log["eval"][-1]
+    print(f"DONE: o(1) {first['o1']:.4f} -> {last['o1']:.4f}, "
+          f"dist2 {first['dist2_mean']:.4f} -> {last['dist2_mean']:.4f}, "
+          f"ph0 {first['ph0_eval']:.5f} -> {last['ph0_eval']:.5f}",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

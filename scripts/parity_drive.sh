@@ -31,13 +31,21 @@ FTSF_RESERVE=900          # presave-MF + FTSF floor (s)
 
 remaining() { echo $(( DEADLINE - $(date +%s) )); }
 last_epoch() {  # newest net_%04d.params under output/$1
-    ls "output/$1"/net_*.params 2>/dev/null | sed 's/.*net_0*\([0-9]*\)\.params/\1/' | sort -n | tail -1
+    # keep leading zeros out of the arithmetic but map net_0000 -> 0 (a
+    # greedy 'net_0*' sed eats all zeros and yields the empty string)
+    ls "output/$1"/net_*.params 2>/dev/null \
+        | sed 's/.*net_\([0-9]*\)\.params/\1/;s/^0*//;s/^$/0/' \
+        | sort -n | tail -1
 }
 
 echo "=== parity_drive: deadline in $(remaining)s; SF=$SF_EPOCHS MF=$MF_EPOCHS FTSF=$FTSF_EPOCHS"
 
 echo "=== stage 1: DIS-SF ($SF_EPOCHS epochs)"
-timeout $(( $(remaining) - FTSF_RESERVE - 300 )) \
+SF_BUDGET=$(( $(remaining) - FTSF_RESERVE - 300 ))
+# guard: timeout 0 means NO limit and negative values exit 125 — a
+# too-close deadline must abort, not run unbounded
+[ "$SF_BUDGET" -gt 120 ] || { echo "deadline too close (SF budget ${SF_BUDGET}s); aborting"; exit 1; }
+timeout "$SF_BUDGET" \
     python train_val.py --architecture single_frame --cmd retrain \
         --epochs "$SF_EPOCHS" $FLOW $EVAL
 SF_LAST=$(last_epoch single_frame)

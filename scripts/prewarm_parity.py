@@ -6,11 +6,13 @@ batch shapes, with the wire-encoded (uint16/int16) batch avals the loader
 produces and --flow_source rigid — via the workers' own construction path
 (train_step._jit / ._consts, train/steps.py:143-146).
 
-Compilation is a remote-service round trip on this stack (utils/jaxcfg.py
-docstring) while lowering is local CPU, so this can run while dataset
-generation or another TPU job owns the machine; the later train_val.py jit
-calls then hit the persistent cache instead of blocking the training
-window.
+NEGATIVE RESULT on the target TPU backend (round 3, STATUS.md/CLAUDE.md):
+compile-cache keys are per-process there — identical HLO digests produce
+different cache entries (~300 B of per-session metadata in the compile
+options) — so cross-process prewarming does NOT shorten a later
+train_val.py start on TPU.  Kept because it still works as designed on
+CPU (tests, cache experiments) and documents the exact programs the
+pipeline compiles.
 
 Usage: python scripts/prewarm_parity.py [sf|mf|ftsf ...]  (default: all)
 """

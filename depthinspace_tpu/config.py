@@ -58,7 +58,10 @@ class RunConfig:
     # device (on-device streaming, exact at wire resolution), or auto
     # (device for test sets > 64 samples)
     eval_metrics: str = "auto"              # auto | exact | device
-    flow_source: str = "file"               # file | rigid (in-graph, synthetic)
+    flow_source: str = "file"        # file | rigid (in-graph, synthetic) |
+                                     # net (in-graph frozen FlowNet)
+    flow_params: str = ""            # FlowNet msgpack for flow_source=net
+                                     # ("" = OUTPUT_DIR/flownet.msgpack)
     # serve batches from the pre-encoded wire_cache/ memmaps when present
     # (data/cache.py — the single-core loader fast path); falls back to the
     # HDF5 TrackDataset when the cache or a required field is missing
@@ -98,6 +101,7 @@ class RunConfig:
             test_frequency=getattr(args, "test_frequency", 1),
             eval_metrics=getattr(args, "eval_metrics", "auto"),
             flow_source=getattr(args, "flow_source", "file"),
+            flow_params=getattr(args, "flow_params", ""),
             wire_cache=getattr(args, "wire_cache", True),
             photometric_pyramid=getattr(args, "photometric_pyramid", True),
             geo_max_shift=getattr(args, "geo_max_shift", 16),

@@ -127,6 +127,41 @@ class FlowNet(nn.Module):
         return flows
 
 
+def flow_input(im: jax.Array, amb: jax.Array, in_channels: int) -> jax.Array:
+    """Stack the FlowNet input channels: [ambient, IR] (2ch) or ambient.
+
+    im/amb: (..., H, W) f32.  2-channel is the trained default — synthetic
+    ambient is near-textureless shading while the IR dots carry a dense
+    (disparity-difference) cue; the net combines both (tools/train_flow.py).
+    """
+    if in_channels == 2:
+        return jnp.stack([amb, im], axis=-1)
+    return amb[..., None]
+
+
+def flow_all_pairs(flow_net, flow_params, im, amb,
+                   in_channels: int = 2) -> jax.Array:
+    """All ordered-pair flow from a frozen FlowNet, in-graph.
+
+    im/amb: (tl, n, H, W) f32.  Returns (tl, tl, n, H, W, 2) with a zero
+    diagonal — the layout datasets collate from flow.hdf5 — under
+    stop_gradient (the provider is frozen, like the reference's offline
+    LiteFlowNet, data/presave_optical_flow_data.py:40-43, but fused into
+    the consuming step so no (tl,tl,n,H,W,2) block ever crosses the host
+    tunnel)."""
+    tl, n, H, W = im.shape
+    pairs = [(i, j) for i in range(tl) for j in range(tl) if i != j]
+    x = flow_input(im, amb, in_channels)          # (tl, n, H, W, C)
+    src = jnp.concatenate([x[i] for i, _ in pairs], axis=0)
+    dst = jnp.concatenate([x[j] for _, j in pairs], axis=0)
+    fl = flow_net.apply(flow_params, src, dst)[-1]
+    fl = fl.reshape(len(pairs), n, H, W, 2)
+    out = jnp.zeros((tl, tl, n, H, W, 2), jnp.float32)
+    for p, (i, j) in enumerate(pairs):
+        out = out.at[i, j].set(fl[p])
+    return jax.lax.stop_gradient(out)
+
+
 def multiscale_epe_loss(flows, flow_gt, weights=(0.32, 0.16, 0.08, 0.04)):
     """Supervised multi-scale robust flow loss (generalized Charbonnier,
     q=0.4 like PWC-Net fine-tuning). flow_gt: (N, H, W, 2) full-res."""

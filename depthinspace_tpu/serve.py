@@ -151,7 +151,7 @@ class TrackDisparityServer:
                  imsize=(512, 432), K=None, baseline: float = 0.025,
                  track_length: int = 4, max_disp: float = 128.0,
                  max_tracks: int = 4, lcn_radius: int = 5, mesh=None,
-                 compute_dtype=jnp.bfloat16):
+                 compute_dtype=jnp.bfloat16, flow_in_channels: int = 2):
         from .models import FuseNet
         from .models.flownet import FlowNet
         from .ops import disp_to_depth
@@ -172,6 +172,7 @@ class TrackDisparityServer:
                            track_length=tl, max_disp=max_disp,
                            compute_dtype=compute_dtype, use_remat=False)
         self._flow = FlowNet() if flow_params is not None else None
+        self._flow_ch = int(flow_in_channels)
         self.params = dict(sf=sf_params, mf=mf_params, flow=flow_params)
         if mesh is not None:
             from .parallel import replicated
@@ -195,14 +196,11 @@ class TrackDisparityServer:
             if flow_i16 is not None:
                 flow = flow_i16.astype(jnp.float32) * (1.0 / 256.0)
             else:
-                a = amb.reshape(tl, n, H, W, 1)
-                src = jnp.concatenate([a[i] for i, _ in pairs], axis=0)
-                dst = jnp.concatenate([a[j] for _, j in pairs], axis=0)
-                fl = self._flow.apply(params["flow"], src, dst)[-1]
-                fl = fl.reshape(len(pairs), n, H, W, 2)
-                flow = jnp.zeros((tl, tl, n, H, W, 2), jnp.float32)
-                for p, (i, j) in enumerate(pairs):
-                    flow = flow.at[i, j].set(fl[p])
+                from .models.flownet import flow_all_pairs
+                flow = flow_all_pairs(self._flow, params["flow"],
+                                      im.reshape(tl, n, H, W),
+                                      amb.reshape(tl, n, H, W),
+                                      self._flow_ch)
 
             pd = primary.reshape(tl, n, H, W, 1)
             pdepth = disp_to_depth(pd, focal, baseline)
@@ -246,8 +244,11 @@ class TrackDisparityServer:
             z((tl, tl, 1, H, W, 2)))
         mf_params = load_net_params(Path(mf_params_path), mf_tpl)
 
-        flow_params = (load_flow_params(Path(flow_params_path), (H, W))
-                       if flow_params_path else None)
+        flow_params = None
+        if flow_params_path:
+            flow_params, n_ch = load_flow_params(Path(flow_params_path),
+                                                 (H, W))
+            kw.setdefault("flow_in_channels", n_ch)
         return cls(sf_params, mf_params, flow_params, **kw)
 
     def infer(self, im, ambient, R, t, flow=None) -> np.ndarray:

@@ -71,22 +71,25 @@ def make_learned_infer(params_path: str, imsize):
     from .train_flow import load_flow_params
     from ..models.flownet import FlowNet
 
-    params = load_flow_params(params_path, imsize)
+    params, n_ch = load_flow_params(params_path, imsize)
     net = FlowNet()
 
     @jax.jit
     def infer(a, b):
-        out = net.apply(params, a[..., None], b[..., None])[-1]
+        # a/b: (P, H, W, C) with C = the net's trained input channels
+        out = net.apply(params, a, b)[-1]
         return jnp.moveaxis(out, -1, 1)           # (P, 2, H, W)
 
-    return infer
+    return infer, n_ch
 
 
 def process_sample(sample: Path, provider: str, K, baseline, focal,
-                   learned_infer=None):
+                   learned_infer=None, learned_channels: int = 1):
     with h5py.File(sample / "frames.hdf5", "r") as f:
         tl = f["im"].shape[0]
         amb = np.asarray(f["ambient"][:, 0], np.float32)
+        im = (np.asarray(f["im"][:, 0], np.float32)
+              if learned_channels == 2 else None)
         if provider == "rigid":
             disp = np.asarray(f["disp"][:, 0], np.float32)
             R = np.asarray(f["R"], np.float32)
@@ -95,9 +98,14 @@ def process_sample(sample: Path, provider: str, K, baseline, focal,
 
     pairs = [(i, j) for i in range(tl) for j in range(tl) if i != j]
     if provider == "learned":
-        # all ordered pairs in one batched device call
-        a = np.stack([amb[i] for i, _ in pairs])
-        b = np.stack([amb[j] for _, j in pairs])
+        # all ordered pairs in one batched device call; channels must match
+        # the checkpoint's trained input (models/flownet.py::flow_input)
+        def x(k):
+            if learned_channels == 2:
+                return np.stack([amb[k], im[k]], axis=-1)
+            return amb[k][..., None]
+        a = np.stack([x(i) for i, _ in pairs])
+        b = np.stack([x(j) for _, j in pairs])
         flows = np.asarray(learned_infer(a, b))
 
     with h5py.File(sample / "flow.hdf5", "w") as f:
@@ -128,18 +136,20 @@ def main(argv=None):
     data_root = Path(args.data_dir or paths["DATA_DIR"])
     settings = load_settings(data_root / "settings.pkl")
 
-    learned_infer = None
+    learned_infer, learned_channels = None, 1
     if args.provider == "learned":
         params_path = args.flow_params or str(
             Path(paths["OUTPUT_DIR"]) / "flownet.msgpack")
-        learned_infer = make_learned_infer(params_path, settings.imsize)
+        learned_infer, learned_channels = make_learned_infer(
+            params_path, settings.imsize)
 
     sample_dirs = sorted(p for p in data_root.iterdir()
                          if p.is_dir() and (p / "frames.hdf5").exists())
     for i, sample in enumerate(sample_dirs):
         process_sample(sample, args.provider, settings.K,
                        settings.baseline, settings.focal_length,
-                       learned_infer=learned_infer)
+                       learned_infer=learned_infer,
+                       learned_channels=learned_channels)
         if i % 100 == 0:
             print(f"{i + 1}/{len(sample_dirs)}")
     print(f"wrote flow.hdf5 ({args.provider}) for {len(sample_dirs)} samples")

@@ -33,47 +33,121 @@ def _sample_dirs(data_root: Path):
                   if p.is_dir() and (p / "frames.hdf5").exists())
 
 
-def load_pair(sample: Path, K, baseline, focal, rng: np.random.RandomState):
-    """Random ordered frame pair (amb_i, amb_j, rigid flow i->j HWC)."""
+def load_pair(sample: Path, K, baseline, focal, rng: np.random.RandomState,
+              in_channels: int = 2):
+    """Random ordered frame pair -> (x_i, x_j, rigid flow i->j HWC).
+
+    ``in_channels=2`` stacks [ambient, IR] per frame: the synthetic ambient
+    render is nearly textureless smooth shading (flow is ill-posed from it
+    away from edges) while the IR dot texture carries a dense cue — the
+    dots move with the *disparity-difference* field, not the scene flow
+    (the projector travels with the rig), so the net must learn to combine
+    both channels; giving it only one was the round-3 12.5 px ceiling."""
     with h5py.File(sample / "frames.hdf5", "r") as f:
         tl = f["im"].shape[0]
         i, j = rng.choice(tl, size=2, replace=False)
         amb_i = np.asarray(f["ambient"][i, 0], np.float32)
         amb_j = np.asarray(f["ambient"][j, 0], np.float32)
+        if in_channels == 2:
+            im_i = np.asarray(f["im"][i, 0], np.float32)
+            im_j = np.asarray(f["im"][j, 0], np.float32)
         disp = np.asarray(f["disp"][i, 0], np.float32)
         R = np.asarray(f["R"], np.float32)
         t = np.asarray(f["t"], np.float32)
     depth = baseline * focal / np.maximum(disp, 1e-6)
     fl = rigid_flow(depth, K, R[i], t[i], R[j], t[j])     # (2, H, W)
-    return amb_i, amb_j, np.moveaxis(fl, 0, -1)
+    if in_channels == 2:
+        a = np.stack([amb_i, im_i], axis=-1)
+        b = np.stack([amb_j, im_j], axis=-1)
+    else:
+        a, b = amb_i[..., None], amb_j[..., None]
+    return a, b, np.moveaxis(fl, 0, -1)
 
 
-def make_batch(samples, K, baseline, focal, rng, batch_size, crop=None):
-    """Training batch, wire-encoded for the slow host->device tunnel:
-    images as uint16 fixed point ([0,1] x 65535), flow labels as int16
-    (1/256 px) — half the f32 bytes; decoded inside the jitted step.
+class PairPool:
+    """In-RAM pool of wire-encoded training pairs.
 
-    crop=(ch, cw): random crop applied after computing the full-res rigid
-    flow (flow values are per-pixel displacements, unchanged by cropping).
+    The 1-core host cannot keep up with per-step HDF5 reads + rigid-flow
+    label computation (~2 s per batch of 8).  The pool front-loads that
+    cost once — sourcing images from the wire cache memmaps when present —
+    and batches become pure array slicing (+ random crops).
     """
-    idx = rng.choice(len(samples), size=batch_size, replace=True)
-    im1, im2, gt = [], [], []
-    for k in idx:
-        a, b, fl = load_pair(samples[k], K, baseline, focal, rng)
+
+    def __init__(self, data_root: Path, samples, K, baseline, focal,
+                 pool_size: int, rng, in_channels: int = 2):
+        from ..data.cache import CachedTrackDataset
+
+        n = min(pool_size, len(samples) * 12)
+        cached = None
+        try:
+            names = [p.name for p in samples]
+            cached = CachedTrackDataset(data_root, names, train=False)
+        except FileNotFoundError:
+            pass
+        self.a, self.b, self.gt = [], [], []
+        for p in range(n):
+            si = rng.randint(len(samples))
+            i, j = rng.choice(4, size=2, replace=False)
+            if cached is not None:
+                gi = cached.indices[si]
+                amb = cached.fields["ambient"]
+                im = cached.fields["im"]
+                disp = (np.asarray(cached.fields["disp"][gi, i], np.float32)
+                        * (1.0 / 256.0))
+                R = np.asarray(cached.fields["R"][gi])
+                t = np.asarray(cached.fields["t"][gi])
+                u16 = lambda arr, k: np.asarray(arr[gi, k])
+                chans_a = ([u16(amb, i), u16(im, i)] if in_channels == 2
+                           else [u16(amb, i)])
+                chans_b = ([u16(amb, j), u16(im, j)] if in_channels == 2
+                           else [u16(amb, j)])
+                a = np.stack(chans_a, axis=-1)
+                b = np.stack(chans_b, axis=-1)
+            else:
+                with h5py.File(samples[si] / "frames.hdf5", "r") as f:
+                    load = lambda k, fi: np.asarray(f[k][fi, 0], np.float32)
+                    chans_a = ([load("ambient", i), load("im", i)]
+                               if in_channels == 2 else [load("ambient", i)])
+                    chans_b = ([load("ambient", j), load("im", j)]
+                               if in_channels == 2 else [load("ambient", j)])
+                    disp = load("disp", i)
+                    R = np.asarray(f["R"], np.float32)
+                    t = np.asarray(f["t"], np.float32)
+                enc = lambda v: np.clip(v * 65535.0 + 0.5, 0,
+                                        65535).astype(np.uint16)
+                a = np.stack([enc(c) for c in chans_a], axis=-1)
+                b = np.stack([enc(c) for c in chans_b], axis=-1)
+            depth = baseline * focal / np.maximum(disp, 1e-6)
+            fl = np.moveaxis(rigid_flow(depth, K, R[i], t[i], R[j], t[j]),
+                             0, -1)
+            self.a.append(a)
+            self.b.append(b)
+            self.gt.append(np.clip(np.rint(fl * 256.0), -32768,
+                                   32767).astype(np.int16))
+            if p % 128 == 0:
+                print(f"pair pool: {p}/{n}", flush=True)
+        self.a = np.stack(self.a)
+        self.b = np.stack(self.b)
+        self.gt = np.stack(self.gt)
+        print(f"pair pool ready: {n} pairs, "
+              f"{(self.a.nbytes + self.b.nbytes + self.gt.nbytes)/1e9:.2f} GB",
+              flush=True)
+
+    def batch(self, rng, batch_size, crop=None):
+        idx = rng.randint(0, len(self.a), batch_size)
+        a, b, gt = self.a[idx], self.b[idx], self.gt[idx]
         if crop is not None:
             ch, cw = crop
-            y = rng.randint(0, a.shape[0] - ch + 1)
-            x = rng.randint(0, a.shape[1] - cw + 1)
-            a = a[y:y + ch, x:x + cw]
-            b = b[y:y + ch, x:x + cw]
-            fl = fl[y:y + ch, x:x + cw]
-        im1.append(a)
-        im2.append(b)
-        gt.append(fl)
-    enc_im = lambda v: np.clip(np.stack(v) * 65535.0 + 0.5,
-                               0, 65535).astype(np.uint16)
-    gt = np.clip(np.rint(np.stack(gt) * 256.0), -32768, 32767).astype(np.int16)
-    return enc_im(im1)[..., None], enc_im(im2)[..., None], gt
+            H, W = a.shape[1:3]
+            ys = rng.randint(0, H - ch + 1, batch_size)
+            xs = rng.randint(0, W - cw + 1, batch_size)
+            a = np.stack([a[k, y:y + ch, x:x + cw]
+                          for k, (y, x) in enumerate(zip(ys, xs))])
+            b = np.stack([b[k, y:y + ch, x:x + cw]
+                          for k, (y, x) in enumerate(zip(ys, xs))])
+            gt = np.stack([gt[k, y:y + ch, x:x + cw]
+                           for k, (y, x) in enumerate(zip(ys, xs))])
+        return a, b, gt
 
 
 def save_params(params, path: Path):
@@ -82,17 +156,27 @@ def save_params(params, path: Path):
     path.write_bytes(serialization.to_bytes(params))
 
 
-def load_flow_params(path: Path, imsize=(64, 64)):
-    """Restore FlowNet params saved by this tool."""
+def load_flow_params(path: Path, imsize=(64, 64), in_channels: int = None):
+    """Restore FlowNet params saved by this tool -> (params, in_channels).
+
+    ``in_channels=None`` auto-detects from the serialized first encoder
+    kernel's input width (1-channel round-3 nets and 2-channel nets both
+    restore; flax from_bytes does not validate leaf shapes, so detection
+    must read the stored shape, not catch an exception)."""
     import jax
     import jax.numpy as jnp
     from flax import serialization
     from ..models.flownet import FlowNet
+    data = Path(path).read_bytes()
+    if in_channels is None:
+        raw = serialization.msgpack_restore(data)
+        in_channels = int(raw["params"]["encoder"]["down0"]["kernel"].shape[2])
     net = FlowNet()
     H, W = imsize
-    tpl = net.init(jax.random.key(0), jnp.zeros((1, H, W, 1)),
-                   jnp.zeros((1, H, W, 1)))
-    return serialization.from_bytes(tpl, Path(path).read_bytes())
+    tpl = net.init(jax.random.key(0),
+                   jnp.zeros((1, H, W, in_channels)),
+                   jnp.zeros((1, H, W, in_channels)))
+    return serialization.from_bytes(tpl, data), in_channels
 
 
 def main(argv=None):
@@ -111,6 +195,11 @@ def main(argv=None):
                     "full-resolution training")
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--report_every", type=int, default=100)
+    ap.add_argument("--in_channels", type=int, default=2, choices=[1, 2],
+                    help="2 = [ambient, IR] (see load_pair docstring)")
+    ap.add_argument("--pool_size", type=int, default=1024,
+                    help="in-RAM wire-encoded training-pair pool (the "
+                         "1-core host cannot read+label pairs per step)")
     args = ap.parse_args(argv)
 
     import jax
@@ -135,8 +224,9 @@ def main(argv=None):
     crop = tuple(args.crop) if args.crop and args.crop[0] > 0 else None
     rng = np.random.RandomState(args.seed)
     net = FlowNet()
-    im1, im2, gt = make_batch(train, K, baseline, focal, rng,
-                              args.batch_size, crop)
+    pool = PairPool(data_root, train, K, baseline, focal, args.pool_size,
+                    rng, args.in_channels)
+    im1, im2, gt = pool.batch(rng, args.batch_size, crop)
     params = net.init(jax.random.key(args.seed),
                       jnp.zeros(im1.shape, jnp.float32),
                       jnp.zeros(im2.shape, jnp.float32))
@@ -164,8 +254,7 @@ def main(argv=None):
 
     t0 = time.time()
     for it in range(args.steps):
-        im1, im2, gt = make_batch(train, K, baseline, focal, rng,
-                                  args.batch_size, crop)
+        im1, im2, gt = pool.batch(rng, args.batch_size, crop)
         params, opt_state, loss, train_epe = step(
             params, opt_state, jnp.asarray(im1), jnp.asarray(im2),
             jnp.asarray(gt))
@@ -181,12 +270,13 @@ def main(argv=None):
     vrng = np.random.RandomState(12345)
     learned_epes, farneback_epes, zero_epes = [], [], []
     for sample in val:
-        a, b, fl_gt = load_pair(sample, K, baseline, focal, vrng)
-        pred = np.asarray(infer(params, jnp.asarray(a[None, ..., None]),
-                                jnp.asarray(b[None, ..., None])))[0]
+        a, b, fl_gt = load_pair(sample, K, baseline, focal, vrng,
+                                args.in_channels)
+        pred = np.asarray(infer(params, jnp.asarray(a[None]),
+                                jnp.asarray(b[None])))[0]
         learned_epes.append(
             float(np.mean(np.linalg.norm(pred - fl_gt, axis=-1))))
-        fb = np.moveaxis(farneback_flow(a, b), 0, -1)
+        fb = np.moveaxis(farneback_flow(a[..., 0], b[..., 0]), 0, -1)
         farneback_epes.append(
             float(np.mean(np.linalg.norm(fb - fl_gt, axis=-1))))
         zero_epes.append(float(np.mean(np.linalg.norm(fl_gt, axis=-1))))

@@ -67,8 +67,15 @@ class LossContext(NamedTuple):
     # "file": flow comes from flow.hdf5 via the loader (any provider);
     # "rigid": computed in-graph from GT disparity + poses — exact on
     # static synthetic scenes and removes the largest host->device
-    # transfer (the (tl,tl,H,W,2) flow block is ~60% of batch bytes)
+    # transfer (the (tl,tl,H,W,2) flow block is ~60% of batch bytes);
+    # "net": computed in-graph by the frozen learned FlowNet
+    # (models/flownet.py::flow_all_pairs) — the GT-free provider fused
+    # into the step (replaces the presave_flow stage + flow transfer)
     flow_source: str = "file"
+    # frozen FlowNet params for flow_source="net" (threaded through jit as
+    # arguments like the other array constants)
+    flow_params: Optional[object] = None
+    flow_in_channels: int = 2
     # Photometric pyramid (SF): compute the scale-s photometric term at
     # 1/2^s resolution (disparity values rescaled, per-scale LCN'd image +
     # pattern) instead of full resolution.  The 9x9 census basin is ~±4 px,
@@ -257,8 +264,15 @@ def sf_losses(outs, batch, ctx: LossContext, *, train: bool,
             im_s = resize_bilinear(im_raw[..., None], h_s, w_s,
                                    align_corners=False)[..., 0]
             im_lcn_s, std_s = lcn(im_s, ctx.lcn_radius, 0.05)
+            # CTD head semantics: the scale-s head's alpha = max_disp/2^s
+            # means its output IS disparity in scale-s pixel units (0..16
+            # at s=3 spans the full 0..128 full-res range) — use the values
+            # directly at scale-s resolution, do NOT rescale them (a /2^s
+            # here pins the heads at 1/2^s of their own range and fights
+            # the decoder skips; measured: pyramid tracked WORSE than
+            # full-res until this was removed)
             disp_s = resize_bilinear(o, h_s, w_s,
-                                     align_corners=False)[..., 0] / (2 ** s)
+                                     align_corners=False)[..., 0]
             val, _ = photometric_loss(disp_s, im_lcn_s, ctx.pattern_pyr[s - 1],
                                       std=std_s, max_disp=128 >> s)
         comps.append(val / (2 ** s))

@@ -63,21 +63,29 @@ def _make_step_fns(model, ctx: LossContext,
     # grid) must be *arguments* of the jitted step, not closed-over
     # constants — gathers on closure constants fall into XLA's slow flat
     # dynamic-gather lowering (~2000x, measured in scripts/bench_loss.py).
-    consts = (ctx.cam, ctx.pattern_lcn, ctx.pattern_pyr)
-    static_ctx = ctx._replace(cam=None, pattern_lcn=None, pattern_pyr=None)
+    consts = (ctx.cam, ctx.pattern_lcn, ctx.pattern_pyr, ctx.flow_params)
+    static_ctx = ctx._replace(cam=None, pattern_lcn=None, pattern_pyr=None,
+                              flow_params=None)
 
     def _prepare(batch: Batch, ctx_full: LossContext) -> Batch:
         if ctx.flow_source == "rigid":
             flow = rigid_flow_device(ctx_full.cam, batch.disp_gt, batch.R,
                                      batch.t, ctx.focal_length, ctx.baseline)
             batch = batch._replace(flow=flow)
+        elif ctx.flow_source == "net":
+            from ..models.flownet import FlowNet, flow_all_pairs
+            flow = flow_all_pairs(FlowNet(), ctx_full.flow_params,
+                                  batch.im, batch.ambient,
+                                  ctx.flow_in_channels)
+            batch = batch._replace(flow=flow)
         return batch
 
     def train_step(state: TrainState, batch: Batch, epoch, consts):
         batch = decode_batch(batch)      # 16-bit wire fields -> f32 (no-op
-        cam, pattern_lcn, pattern_pyr = consts   # (f32 inputs pass through
+        cam, pattern_lcn, pattern_pyr, flow_params = consts
         ctx_full = static_ctx._replace(cam=cam, pattern_lcn=pattern_lcn,
-                                       pattern_pyr=pattern_pyr)
+                                       pattern_pyr=pattern_pyr,
+                                       flow_params=flow_params)
         rng, step_rng, aug_rng = jax.random.split(state.rng, 3)
         if ctx.augment:
             batch = augment_batch_device(batch, aug_rng, ctx_full)
@@ -100,9 +108,10 @@ def _make_step_fns(model, ctx: LossContext,
 
     def eval_step(params, batch: Batch, epoch, consts):
         batch = decode_batch(batch)
-        cam, pattern_lcn, pattern_pyr = consts
+        cam, pattern_lcn, pattern_pyr, flow_params = consts
         ctx_full = static_ctx._replace(cam=cam, pattern_lcn=pattern_lcn,
-                                       pattern_pyr=pattern_pyr)
+                                       pattern_pyr=pattern_pyr,
+                                       flow_params=flow_params)
         batch = _prepare(batch, ctx_full)
         outs = forward(model, params, batch, ctx_full)
         _, comps = losses(outs, batch, ctx_full, train=False, epoch=epoch,

@@ -143,13 +143,22 @@ class Worker:
         logging.info(f"devices: {jax.devices()}  mesh: {self.mesh}")
 
         self.model = self.make_model()
+        flow_params, flow_ch = None, 2
+        if cfg.flow_source == "net":
+            from ..tools.train_flow import load_flow_params
+            fp_path = Path(cfg.flow_params or
+                           (Path(cfg.output_dir) / "flownet.msgpack"))
+            flow_params, flow_ch = load_flow_params(fp_path, self.imsize)
+            logging.info(f"in-graph FlowNet provider: {fp_path} "
+                         f"({flow_ch}-channel)")
         self.ctx = make_loss_context(
             self.settings, track_length=cfg.track_length,
             data_type=cfg.data_type, warmup_epochs=cfg.warmup_epochs,
             use_pseudo_gt=cfg.use_pseudo_gt, lcn_radius=cfg.lcn_radius,
             augment=cfg.device_augment, flow_source=cfg.flow_source,
             geo_max_shift=cfg.geo_max_shift,
-            photometric_pyramid=cfg.photometric_pyramid)
+            photometric_pyramid=cfg.photometric_pyramid,
+            flow_params=flow_params, flow_in_channels=flow_ch)
         if cfg.flow_source == "rigid":
             assert cfg.data_type == "synthetic", \
                 "--flow_source rigid needs GT disparity (synthetic data)"

@@ -77,11 +77,16 @@ def parse_args(argv=None):
                              "wire resolution); auto = device for test sets "
                              "over 64 samples")
     parser.add_argument("--flow_source", default="file",
-                        choices=["file", "rigid"],
+                        choices=["file", "rigid", "net"],
                         help="file: flow.hdf5 from any presave provider; "
                              "rigid: computed in-graph from GT disparity + "
                              "poses (synthetic data only — skips loading "
-                             "the flow block entirely)")
+                             "the flow block entirely); net: computed "
+                             "in-graph by the frozen learned FlowNet "
+                             "(GT-free; replaces the presave_flow stage)")
+    parser.add_argument("--flow_params", default="",
+                        help="FlowNet msgpack for --flow_source net "
+                             "(default OUTPUT_DIR/flownet.msgpack)")
     parser.add_argument("--mf_remat",
                         help="Rematerialize FuseNet fusion blocks (trades "
                              "recompute for HBM; the default off is ~25% "

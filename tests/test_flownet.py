@@ -81,14 +81,14 @@ def test_flownet_learns_constant_shift():
     assert float(e) < 2.0, float(e)     # better than predicting zero flow
 
 
-def test_train_flow_make_batch_crop_and_encoding(tmp_path):
-    """make_batch: crops are (ch, cw) windows of the full-res pair with the
+def test_train_flow_pool_crop_and_encoding(tmp_path):
+    """PairPool: crops are (ch, cw) windows of the full-res pair with the
     SAME flow values (flow is displacement, invariant under cropping), and
     the uint16/int16 wire encoding round-trips within quantization."""
     from depthinspace_tpu.data.fixture import generate_dataset
     from depthinspace_tpu.data import load_settings
     from depthinspace_tpu.tools.train_flow import (_sample_dirs, load_pair,
-                                                   make_batch)
+                                                   PairPool)
 
     root = tmp_path / "data"
     generate_dataset(root, n_samples=2, imsize=(48, 48), write_flow=False)
@@ -96,10 +96,10 @@ def test_train_flow_make_batch_crop_and_encoding(tmp_path):
     K, bl, fo = settings.K, settings.baseline, settings.focal_length
     samples = _sample_dirs(root)
 
-    im1, im2, gt = make_batch(samples, K, bl, fo,
-                              np.random.RandomState(0), batch_size=3,
-                              crop=(32, 32))
-    assert im1.shape == (3, 32, 32, 1) and im1.dtype == np.uint16
+    pool = PairPool(root, samples, K, bl, fo, pool_size=6,
+                    rng=np.random.RandomState(0), in_channels=2)
+    im1, im2, gt = pool.batch(np.random.RandomState(0), 3, crop=(32, 32))
+    assert im1.shape == (3, 32, 32, 2) and im1.dtype == np.uint16
     assert gt.shape == (3, 32, 32, 2) and gt.dtype == np.int16
 
     # decode (the jitted step's in-graph decode) and check against a
@@ -115,6 +115,46 @@ def test_train_flow_make_batch_crop_and_encoding(tmp_path):
     assert np.max(np.abs((fl_dec - fl_full)[in_range])) <= 0.5 / 256.0
 
 
+def test_flow_source_net_in_graph(tmp_path):
+    """flow_source='net': the frozen FlowNet computes all-pairs flow inside
+    the jitted train step (no flow transfer, no presave stage)."""
+    import optax
+    from depthinspace_tpu.data.fixture import generate_dataset
+    from depthinspace_tpu.data import TrackDataset, load_settings
+    from depthinspace_tpu.data.dataset import collate
+    from depthinspace_tpu.data.wire import encode_batch
+    from depthinspace_tpu.models import DispNet
+    from depthinspace_tpu.parallel import put_batch
+    from depthinspace_tpu.train.objective import make_loss_context
+    from depthinspace_tpu.train.steps import build_steps
+    from depthinspace_tpu.train.state import TrainState
+
+    root = tmp_path / "data"
+    generate_dataset(root, n_samples=2, imsize=(64, 56), write_flow=False)
+    settings = load_settings(root / "settings.pkl")
+    ds = TrackDataset(settings, sorted(str(p) for p in root.glob("0*")),
+                      train=False)
+    batch = put_batch(encode_batch(collate([ds[0], ds[1]])), None)
+
+    fnet = FlowNet()
+    z = jnp.zeros((1, 64, 56, 2))
+    flow_params = fnet.init(jax.random.key(1), z, z)
+
+    model = DispNet(max_disp=128.0)
+    ctx = make_loss_context(settings, track_length=4, flow_source="net",
+                            flow_params=flow_params, flow_in_channels=2,
+                            augment=False)
+    opt = optax.adam(1e-4)
+    train_step, eval_step = build_steps(model, ctx, opt, "single_frame")
+    H, W = settings.imsize
+    params = model.init(jax.random.key(0), jnp.zeros((1, H, W, 2)))
+    state = TrainState.create(params, opt, jax.random.key(0))
+    state, comps = train_step(state, batch, jnp.asarray(0.0))
+    assert np.isfinite(np.asarray(comps)).all()
+    disp, comps = eval_step(state.params, batch, jnp.asarray(0.0))
+    assert np.isfinite(np.asarray(comps)).all()
+
+
 def test_presave_learned_provider_roundtrip(tmp_path):
     """train_flow save/load + presave_flow --provider learned writes the
     flow.hdf5 schema the datasets consume."""
@@ -127,11 +167,12 @@ def test_presave_learned_provider_roundtrip(tmp_path):
     generate_dataset(root, n_samples=2, imsize=(32, 32), write_flow=False)
 
     net = FlowNet()
-    a = jnp.zeros((1, 32, 32, 1))
+    a = jnp.zeros((1, 32, 32, 2))          # trained default: [ambient, IR]
     params = net.init(jax.random.key(0), a, a)
     ppath = tmp_path / "flownet.msgpack"
     save_params(params, ppath)
-    restored = load_flow_params(ppath, (32, 32))
+    restored, n_ch = load_flow_params(ppath, (32, 32))
+    assert n_ch == 2                        # auto-detected from the kernel
     chex_leaves = jax.tree.leaves(restored)
     assert all(np.isfinite(np.asarray(l)).all() for l in chex_leaves)
 

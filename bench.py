@@ -136,9 +136,11 @@ def bench_train(architecture, bs, n_steps, use_pseudo_gt=False,
 
 def bench_sf_e2e(n_steps=12, n_samples=64):
     """End-to-end CLI-path SF training steps/sec: real dataset dirs through
-    the threaded DataLoader (HDF5 read + collate + wire-encode + H2D on the
-    producer thread, parallel/mesh.put_batch) feeding the jitted train step
-    — the number a user sees, including all host pipeline cost.  Skipped
+    the threaded DataLoader feeding the jitted train step — the number a
+    user sees, including all host pipeline cost.  Uses the wire-cache
+    memmap fast path when present (the CLI worker's default loader,
+    train/worker.py::cached_dataset); falls back to the HDF5 path (read +
+    collate + wire-encode on producer threads) otherwise.  Skipped
     (returns None) when no generated dataset is present."""
     import pathlib
     data_dir = pathlib.Path("dataset")
@@ -152,6 +154,7 @@ def bench_sf_e2e(n_steps=12, n_samples=64):
     import jax.numpy as jnp
     import optax
     from depthinspace_tpu.data import TrackDataset, DataLoader, load_settings
+    from depthinspace_tpu.data.cache import CachedTrackDataset, has_wire_cache
     from depthinspace_tpu.data.wire import encode_batch
     from depthinspace_tpu.models import DispNet
     from depthinspace_tpu.parallel import put_batch
@@ -168,7 +171,11 @@ def bench_sf_e2e(n_steps=12, n_samples=64):
     train_step, _ = build_steps(model, ctx, opt, "single_frame", mesh=None)
     epoch = jnp.asarray(0.0)
 
-    dset = TrackDataset(settings, sample_paths, train=True)
+    if has_wire_cache(data_dir):
+        names = [pathlib.Path(p).name for p in sample_paths]
+        dset = CachedTrackDataset(data_dir, names, train=True)
+    else:
+        dset = TrackDataset(settings, sample_paths, train=True)
     transform = lambda b: put_batch(encode_batch(b), None)
 
     def run(n):

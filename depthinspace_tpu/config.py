@@ -74,6 +74,11 @@ class RunConfig:
     save_frequency: int = 1
     max_train_iter: int = -1
     test_samples: int = -1                  # cap eval-split size (-1 = all)
+    # wall-clock deadline (epoch seconds; 0 = none): the train loop stops
+    # cleanly after the epoch in flight when time.time() passes it — lets a
+    # single-process pipeline driver budget stages without SIGKILL-style
+    # `timeout` truncation (scripts/pipeline_drive.py)
+    deadline_ts: float = 0.0
     write_debug_images: bool = True
     # device
     use_mesh: bool = True                   # data-parallel over all devices

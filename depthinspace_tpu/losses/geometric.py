@@ -194,7 +194,8 @@ def _ordered_directions(track_length: int):
 
 
 def geometric_loss_sf(cam: CameraGeometry, depth, R, t, flow, amb,
-                      clamp: float = 0.1, max_shift: int = 16) -> jax.Array:
+                      clamp: float = 0.1, max_shift: int = 16,
+                      with_stats: bool = False):
     """Sum of the SF pair losses over all C(tl,2) pairs.
 
     depth/amb: (tl, N, H, W); R: (tl, N, 3, 3); t: (tl, N, 3);
@@ -254,11 +255,20 @@ def geometric_loss_sf(cam: CameraGeometry, depth, R, t, flow, amb,
     # per-direction masked means (the reference normalizes per direction)
     diff = (diff * mask).reshape(nd, -1).sum(axis=1)
     msum = mask.reshape(nd, -1).sum(axis=1)
-    return jnp.sum(diff / (msum + 1e-8))
+    loss = jnp.sum(diff / (msum + 1e-8))
+    if with_stats:
+        # per-mask accept fractions — diagnosing whether a flow provider's
+        # error level starves the loss (fb threshold is ~0.7 px at zero
+        # motion, so a high-EPE provider zeroes the gradient silently)
+        stats = {"fb": jnp.mean(fb), "vc": jnp.mean(vc),
+                 "accept": jnp.mean(mask)}
+        return loss, stats
+    return loss
 
 
 def geometric_loss_mf(cam: CameraGeometry, depth, R, t, flow, amb,
-                      primary_depth, max_shift: int = 16) -> jax.Array:
+                      primary_depth, max_shift: int = 16,
+                      with_stats: bool = False):
     """Sum of the MF pair losses over all C(tl,2) pairs, direction-batched
     like geometric_loss_sf, with the extra primary-depth rf_mask."""
     dirs = _ordered_directions(depth.shape[0])
@@ -314,4 +324,9 @@ def geometric_loss_mf(cam: CameraGeometry, depth, R, t, flow, amb,
 
     diff = (diff * mask).reshape(nd, -1).sum(axis=1)
     msum = mask.reshape(nd, -1).sum(axis=1)
-    return jnp.sum(diff / (msum + 1e-8))
+    loss = jnp.sum(diff / (msum + 1e-8))
+    if with_stats:
+        stats = {"fb": jnp.mean(fb), "vc": jnp.mean(vc), "rf": jnp.mean(rf),
+                 "accept": jnp.mean(mask)}
+        return loss, stats
+    return loss

@@ -64,7 +64,7 @@ def build_sf_infer(settings, lcn_radius=5):
 
 
 def build_mf_infer(settings, track_length=4, lcn_radius=5,
-                   flow_source="file"):
+                   flow_source="file", flow_in_channels=2):
     import jax
     import jax.numpy as jnp
     from ..models import FuseNet
@@ -108,6 +108,23 @@ def build_mf_infer(settings, track_length=4, lcn_radius=5,
             flow = rigid_flow_device(cam_, disp_gt, R, t,
                                      settings.focal_length,
                                      settings.baseline)
+            return _core(params, cam_, im, amb, primary, R, t, flow)
+    elif flow_source == "net":
+        from ..models.flownet import FlowNet, flow_all_pairs
+        flow_net = FlowNet()
+
+        @jax.jit
+        def infer(params, cam_, flow_params, im_u16, amb_u16, primary_u16,
+                  R, t):
+            """GT-free in-graph flow from the frozen FlowNet — the provider
+            MF training used with --flow_source net (train/steps.py), so
+            presaved MF disparities match the training-time flow."""
+            s = jnp.float32
+            im = im_u16.astype(s) * (1.0 / 65535.0)
+            amb = amb_u16.astype(s) * (1.0 / 65535.0)
+            primary = primary_u16.astype(s) * (1.0 / 256.0)
+            flow = flow_all_pairs(flow_net, flow_params, im, amb,
+                                  flow_in_channels)
             return _core(params, cam_, im, amb, primary, R, t, flow)
     else:
         @jax.jit
@@ -162,10 +179,14 @@ def main(argv=None):
     ap.add_argument("--batch", default=None, type=int,
                     help="samples per jit call (default: 8 SF / 4 MF)")
     ap.add_argument("--flow_source", default="file",
-                    choices=["file", "rigid"],
+                    choices=["file", "rigid", "net"],
                     help="multi_frame only: rigid computes flow in-graph "
                          "from GT disparity + poses (synthetic data; no "
-                         "flow.hdf5 needed)")
+                         "flow.hdf5 needed); net uses the frozen learned "
+                         "FlowNet in-graph (GT-free)")
+    ap.add_argument("--flow_params", default=None,
+                    help="FlowNet msgpack for --flow_source net "
+                         "(default OUTPUT_DIR/flownet.msgpack)")
     ap.add_argument("--ranges", default=None,
                     help="comma-separated lo:hi index ranges into the "
                          "sorted sample list to presave (e.g. "
@@ -186,11 +207,20 @@ def main(argv=None):
 
     sf = args.architecture == "single_frame"
     B = args.batch or (8 if sf else 4)
+    flow_params = None
     if sf:
         template, infer = build_sf_infer(settings)
     else:
+        flow_ch = 2
+        if args.flow_source == "net":
+            from .train_flow import load_flow_params
+            fp_path = Path(args.flow_params
+                           or (output_dir / "flownet.msgpack"))
+            flow_params, flow_ch = load_flow_params(fp_path, settings.imsize)
+            print(f"in-graph FlowNet provider: {fp_path} ({flow_ch}-channel)")
         template, infer, cam = build_mf_infer(settings,
-                                              flow_source=args.flow_source)
+                                              flow_source=args.flow_source,
+                                              flow_in_channels=flow_ch)
 
     with open(model_path, "rb") as f:
         params = serialization.from_bytes(template, f.read())
@@ -223,6 +253,9 @@ def main(argv=None):
             if args.flow_source == "rigid":
                 out = infer(params, cam, st("im"), st("amb"), st("primary"),
                             st("disp_gt"), st("R"), st("t"))
+            elif args.flow_source == "net":
+                out = infer(params, cam, flow_params, st("im"), st("amb"),
+                            st("primary"), st("R"), st("t"))
             else:
                 flow = np.stack([d["flow"] for d in data], axis=2)
                 out = infer(params, cam, st("im"), st("amb"), st("primary"),

@@ -186,7 +186,8 @@ def main(argv=None):
                     help="output params path (default OUTPUT_DIR/flownet.msgpack)")
     ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--batch_size", type=int, default=8)
-    ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--lr", type=float, default=2e-4,
+                    help="peak lr (200-step warmup, cosine decay to lr/20)")
     ap.add_argument("--val_samples", type=int, default=16)
     ap.add_argument("--crop", type=int, nargs=2, default=(256, 224),
                     metavar=("H", "W"),
@@ -195,6 +196,8 @@ def main(argv=None):
                     "full-resolution training")
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--report_every", type=int, default=100)
+    ap.add_argument("--val_every", type=int, default=2000,
+                    help="mid-training learned-EPE checks (0 = end only)")
     ap.add_argument("--in_channels", type=int, default=2, choices=[1, 2],
                     help="2 = [ambient, IR] (see load_pair docstring)")
     ap.add_argument("--pool_size", type=int, default=1024,
@@ -230,7 +233,11 @@ def main(argv=None):
     params = net.init(jax.random.key(args.seed),
                       jnp.zeros(im1.shape, jnp.float32),
                       jnp.zeros(im2.shape, jnp.float32))
-    opt = optax.adam(args.lr)
+    sched = optax.warmup_cosine_decay_schedule(
+        init_value=args.lr * 0.05, peak_value=args.lr,
+        warmup_steps=min(200, args.steps // 10 + 1),
+        decay_steps=args.steps, end_value=args.lr / 20.0)
+    opt = optax.adam(sched)
     opt_state = opt.init(params)
 
     @jax.jit
@@ -252,6 +259,37 @@ def main(argv=None):
     def infer(params, im1, im2):
         return net.apply(params, im1, im2)[-1]
 
+    # validation: learned vs Farneback vs the ZERO-FLOW no-skill baseline.
+    # The zero row is the honesty control (VERDICT r3): any provider that
+    # does not beat "predict no motion" by a wide margin is adding noise,
+    # not signal, to the MF geometric loss.
+    val_pairs = []           # fixed held-out pairs (deterministic RNG)
+    vrng = np.random.RandomState(12345)
+    for sample in val:
+        val_pairs.append(load_pair(sample, K, baseline, focal, vrng,
+                                   args.in_channels))
+
+    def validate(params, with_baselines=False):
+        learned_epes, farneback_epes, zero_epes = [], [], []
+        for a, b, fl_gt in val_pairs:
+            pred = np.asarray(infer(params, jnp.asarray(a[None]),
+                                    jnp.asarray(b[None])))[0]
+            learned_epes.append(
+                float(np.mean(np.linalg.norm(pred - fl_gt, axis=-1))))
+            if with_baselines:
+                fb = np.moveaxis(farneback_flow(a[..., 0], b[..., 0]), 0, -1)
+                farneback_epes.append(
+                    float(np.mean(np.linalg.norm(fb - fl_gt, axis=-1))))
+                zero_epes.append(
+                    float(np.mean(np.linalg.norm(fl_gt, axis=-1))))
+        line = f"val EPE  learned {np.mean(learned_epes):.3f}px"
+        if with_baselines:
+            line += (f"  farneback {np.mean(farneback_epes):.3f}px"
+                     f"  zero-flow {np.mean(zero_epes):.3f}px"
+                     f"  ({len(val_pairs)} held-out samples)")
+        print(line, flush=True)
+        return float(np.mean(learned_epes))
+
     t0 = time.time()
     for it in range(args.steps):
         im1, im2, gt = pool.batch(rng, args.batch_size, crop)
@@ -262,28 +300,10 @@ def main(argv=None):
             print(f"step {it:5d}  loss {float(loss):.4f}  "
                   f"epe {float(train_epe):.3f}px  "
                   f"({time.time() - t0:.0f}s)", flush=True)
+        if args.val_every and it and it % args.val_every == 0:
+            validate(params)
 
-    # validation: learned vs Farneback vs the ZERO-FLOW no-skill baseline.
-    # The zero row is the honesty control (VERDICT r3): any provider that
-    # does not beat "predict no motion" by a wide margin is adding noise,
-    # not signal, to the MF geometric loss.
-    vrng = np.random.RandomState(12345)
-    learned_epes, farneback_epes, zero_epes = [], [], []
-    for sample in val:
-        a, b, fl_gt = load_pair(sample, K, baseline, focal, vrng,
-                                args.in_channels)
-        pred = np.asarray(infer(params, jnp.asarray(a[None]),
-                                jnp.asarray(b[None])))[0]
-        learned_epes.append(
-            float(np.mean(np.linalg.norm(pred - fl_gt, axis=-1))))
-        fb = np.moveaxis(farneback_flow(a[..., 0], b[..., 0]), 0, -1)
-        farneback_epes.append(
-            float(np.mean(np.linalg.norm(fb - fl_gt, axis=-1))))
-        zero_epes.append(float(np.mean(np.linalg.norm(fl_gt, axis=-1))))
-    print(f"val EPE  learned {np.mean(learned_epes):.3f}px  "
-          f"farneback {np.mean(farneback_epes):.3f}px  "
-          f"zero-flow {np.mean(zero_epes):.3f}px  "
-          f"({len(val)} held-out samples)")
+    validate(params, with_baselines=True)
 
     save_params(params, out_path)
     print(f"saved {out_path}")

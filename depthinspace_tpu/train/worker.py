@@ -26,6 +26,7 @@ import json
 import logging
 import random
 import socket
+import time
 from pathlib import Path
 from typing import NamedTuple, Optional
 
@@ -329,6 +330,11 @@ class Worker:
 
         try:
             for epoch in range(epoch0, self.cfg.epochs):
+                if (self.cfg.deadline_ts
+                        and time.time() > self.cfg.deadline_ts):
+                    logging.info(f"deadline reached before epoch {epoch}; "
+                                 "stopping cleanly")
+                    break
                 self.current_epoch = epoch
                 state = self.train_epoch(epoch, state, train_set)
                 errs = self.test(epoch, state.params, test_sets)

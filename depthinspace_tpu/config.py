@@ -59,7 +59,8 @@ class RunConfig:
     # (device for test sets > 64 samples)
     eval_metrics: str = "auto"              # auto | exact | device
     flow_source: str = "file"        # file | rigid (in-graph, synthetic) |
-                                     # net (in-graph frozen FlowNet)
+                                     # net (in-graph frozen FlowNet) |
+                                     # pred (in-graph from predicted disp)
     flow_params: str = ""            # FlowNet msgpack for flow_source=net
                                      # ("" = OUTPUT_DIR/flownet.msgpack)
     # serve batches from the pre-encoded wire_cache/ memmaps when present

@@ -38,6 +38,8 @@ from ..ops.sampling import resize_bilinear, resize_flow
 from ..ops.resample import flow_warp as warp
 from ..ops.resample import flow_warp_pairs
 from .dispnet import SigmoidAffineHead
+from .packed import (PackedConv, PackedGroupNorm, PackedResNetBlock,
+                     pack_frames, unpack_frames, pack_concat)
 
 
 def _selu_conv(features, kernel, stride=1, name=None):
@@ -217,10 +219,15 @@ class PointConv(nn.Module):
 class Block2D3D(nn.Module):
     """One fusion block: flow-warped multi-frame 2D merge at two scales +
     two point convolutions, fused with a residual SELU
-    (reference model/multi_frame_networks.py:307-430)."""
+    (reference model/multi_frame_networks.py:307-430).
+
+    ``packed=True`` runs the 2D branch frame-packed (models/packed.py):
+    identical math and parameter tree, ~3x faster convs on v5e (C=128
+    grouped vs C=32 frame-major)."""
     features: int
     track_length: int
     dtype: jnp.dtype = jnp.float32
+    packed: bool = False
 
     @nn.compact
     def __call__(self, feat, flow, flow_half, sel1, sel2, merge_w):
@@ -279,6 +286,40 @@ class Block2D3D(nn.Module):
         # (reference fwd_2d, :406-430)
         wf = warped_feat * merge_w.astype(warped_feat.dtype)
         tl_t, tl_s, N, h, w, C = wf.shape
+
+        if self.packed:
+            # frame-packed: target frames -> channel groups (models/packed.py)
+            G = tl_t
+            F = self.features
+            wf = jnp.transpose(wf, (2, 3, 4, 0, 1, 5))      # (N,h,w,tt,ts,C)
+            wf = wf.reshape(N, h, w, tl_t * tl_s * C)
+            mf = PackedConv(F, (1, 1), G, dtype=dt, name="conv_mf")(wf)
+            mf = PackedGroupNorm(G, dtype=dt, name="GroupNorm_0")(mf)
+
+            b1 = PackedGroupNorm(G, dtype=dt, name="GroupNorm_1")(nn.selu(
+                PackedConv(F, (3, 3), G, dtype=dt, name="Conv_0")(mf)))
+            b1 = PackedGroupNorm(G, dtype=dt, name="GroupNorm_2")(nn.selu(
+                PackedConv(F, (3, 3), G, dtype=dt, name="Conv_1")(b1)))
+
+            b2 = PackedGroupNorm(G, dtype=dt, name="GroupNorm_3")(nn.selu(
+                PackedConv(F, (4, 4), G, strides=(2, 2), dtype=dt,
+                           name="Conv_2")(mf)))
+            b2 = PackedGroupNorm(G, dtype=dt, name="GroupNorm_4")(nn.selu(
+                PackedConv(F, (3, 3), G, dtype=dt, name="Conv_3")(b2)))
+            b2 = resize_bilinear(b2, h, w, align_corners=True)
+
+            o3 = pack_frames(out3d_2.reshape(tl_t * N, h2, w2, C), tl_t)
+            o3 = resize_bilinear(o3, h, w, align_corners=True)
+
+            fuse = pack_concat([b1, b2, o3], tl_t)
+            fuse = PackedConv(F, (3, 3), G, dtype=dt, name="conv_fuse")(fuse)
+            fuse = PackedGroupNorm(G, dtype=dt, name="GroupNorm_5")(fuse)
+
+            feat_packed = pack_frames(feat.reshape(tl_t * N, h, w, C), tl_t)
+            out = nn.selu(fuse + feat_packed)
+            out = unpack_frames(out, tl_t).reshape(tl_t, N, h, w, C)
+            return out
+
         wf = jnp.moveaxis(wf, 1, -2).reshape(tl_t * N, h, w, tl_s * C)
 
         mf = nn.Conv(self.features, (1, 1), dtype=dt, name="conv_mf")(wf)
@@ -344,6 +385,11 @@ class FuseNet(nn.Module):
     max_disp: float = 128.0
     use_remat: bool = True
     compute_dtype: jnp.dtype = jnp.float32
+    # frame-packed execution (models/packed.py): identical math + parameter
+    # tree, frames folded into channels so the 2D convs run at C=128 (72%
+    # MXU on v5e) instead of C=32 (5.5%).  Checkpoints interchange freely
+    # (equivalence: tests/test_packed.py).
+    packed: bool = True
 
     def _core_ray(self):
         """Half-res ray grid at even pixel indices (reference :121-128 uses
@@ -368,18 +414,31 @@ class FuseNet(nn.Module):
         # ---------------- encoder (pre_process, reference :216-227) -------
         x = jnp.concatenate([ir, amb, primary_disp], axis=-1)
         x = x.reshape(tl * N, H, W, 4).astype(dt)
-        x = nn.selu(nn.Conv(C // 2, (4, 4), strides=(2, 2), padding="SAME",
-                            dtype=dt, name="conv1")(x))
-        x = nn.selu(nn.Conv(C // 2, (3, 3), padding="SAME", dtype=dt,
-                            name="conv2")(x))
-        x = nn.selu(nn.Conv(C, (3, 3), padding="SAME", dtype=dt,
-                            name="conv3")(x))
-        x = nn.selu(nn.Conv(C, (3, 3), padding="SAME", dtype=dt,
-                            name="conv4")(x))
-        x = ResNetBlock(C, dtype=dt, name="res1")(x)
-        x = ResNetBlock(C, dtype=dt, name="res2")(x)
-        feat = ResNetBlock(C, dtype=dt, name="res3")(x)
-        core_feat = feat.reshape(tl, N, ch, cw, C)
+        if self.packed:
+            x = pack_frames(x, tl)                    # (N, H, W, tl*4)
+            x = nn.selu(PackedConv(C // 2, (4, 4), tl, strides=(2, 2),
+                                   dtype=dt, name="conv1")(x))
+            x = nn.selu(PackedConv(C // 2, (3, 3), tl, dtype=dt,
+                                   name="conv2")(x))
+            x = nn.selu(PackedConv(C, (3, 3), tl, dtype=dt, name="conv3")(x))
+            x = nn.selu(PackedConv(C, (3, 3), tl, dtype=dt, name="conv4")(x))
+            x = PackedResNetBlock(C, tl, dtype=dt, name="res1")(x)
+            x = PackedResNetBlock(C, tl, dtype=dt, name="res2")(x)
+            feat = PackedResNetBlock(C, tl, dtype=dt, name="res3")(x)
+            core_feat = unpack_frames(feat, tl).reshape(tl, N, ch, cw, C)
+        else:
+            x = nn.selu(nn.Conv(C // 2, (4, 4), strides=(2, 2),
+                                padding="SAME", dtype=dt, name="conv1")(x))
+            x = nn.selu(nn.Conv(C // 2, (3, 3), padding="SAME", dtype=dt,
+                                name="conv2")(x))
+            x = nn.selu(nn.Conv(C, (3, 3), padding="SAME", dtype=dt,
+                                name="conv3")(x))
+            x = nn.selu(nn.Conv(C, (3, 3), padding="SAME", dtype=dt,
+                                name="conv4")(x))
+            x = ResNetBlock(C, dtype=dt, name="res1")(x)
+            x = ResNetBlock(C, dtype=dt, name="res2")(x)
+            feat = ResNetBlock(C, dtype=dt, name="res3")(x)
+            core_feat = feat.reshape(tl, N, ch, cw, C)
 
         # ---------------- geometry: core xyz per frame --------------------
         core_depth = _resize_leading(primary_depth, ch, cw)   # (tl,N,ch,cw,1)
@@ -449,30 +508,57 @@ class FuseNet(nn.Module):
             block_cls = nn.remat(Block2D3D, static_argnums=())
         for b in range(self.block_num):
             core_feat = block_cls(C, self.track_length, dtype=dt,
+                                  packed=self.packed,
                                   name=f"block{b}")(core_feat, core_flow,
                                                     flow_half, sel1, sel2,
                                                     merge_w)
 
         # ---------------- decoder (post_process, reference :229-267) ------
-        feat = core_feat.reshape(tl * N, ch, cw, C)
-        up = resize_bilinear(feat, H, W, align_corners=True)
+        if self.packed:
+            feat = pack_frames(core_feat.reshape(tl * N, ch, cw, C), tl)
+            up = resize_bilinear(feat, H, W, align_corners=True)
 
-        a = amb.reshape(tl * N, H, W, 1).astype(dt)
-        a = nn.selu(nn.Conv(16, (3, 3), padding="SAME", dtype=dt,
-                            name="amb_conv")(a))
-        amb_block = nn.remat(ResNetBlock) if self.use_remat else ResNetBlock
-        a = amb_block(16, dtype=dt, name="amb_res1")(a)
-        a = amb_block(16, dtype=dt, name="amb_res2")(a)
+            a = pack_frames(amb.reshape(tl * N, H, W, 1).astype(dt), tl)
+            a = nn.selu(PackedConv(16, (3, 3), tl, dtype=dt,
+                                   name="amb_conv")(a))
+            amb_block = (nn.remat(PackedResNetBlock) if self.use_remat
+                         else PackedResNetBlock)
+            a = amb_block(16, tl, dtype=dt, name="amb_res1")(a)
+            a = amb_block(16, tl, dtype=dt, name="amb_res2")(a)
 
-        y = jnp.concatenate([up, a], axis=-1)
-        y = nn.selu(nn.Conv(32, (3, 3), padding="SAME", dtype=dt,
-                            name="ref_conv")(y))
-        ref_block = nn.remat(ResNetBlock) if self.use_remat else ResNetBlock
-        y = ref_block(32, dtype=dt, name="ref_res1")(y)
-        y = ref_block(32, dtype=dt, name="ref_res2")(y)
-        y = ref_block(32, dtype=dt, name="ref_res3")(y)
-        y = nn.selu(nn.Conv(16, (3, 3), padding="SAME", dtype=dt,
-                            name="final_conv")(y))
+            y = pack_concat([up, a], tl)
+            y = nn.selu(PackedConv(32, (3, 3), tl, dtype=dt,
+                                   name="ref_conv")(y))
+            ref_block = (nn.remat(PackedResNetBlock) if self.use_remat
+                         else PackedResNetBlock)
+            y = ref_block(32, tl, dtype=dt, name="ref_res1")(y)
+            y = ref_block(32, tl, dtype=dt, name="ref_res2")(y)
+            y = ref_block(32, tl, dtype=dt, name="ref_res3")(y)
+            y = nn.selu(PackedConv(16, (3, 3), tl, dtype=dt,
+                                   name="final_conv")(y))
+            y = unpack_frames(y, tl)
+        else:
+            feat = core_feat.reshape(tl * N, ch, cw, C)
+            up = resize_bilinear(feat, H, W, align_corners=True)
+
+            a = amb.reshape(tl * N, H, W, 1).astype(dt)
+            a = nn.selu(nn.Conv(16, (3, 3), padding="SAME", dtype=dt,
+                                name="amb_conv")(a))
+            amb_block = (nn.remat(ResNetBlock) if self.use_remat
+                         else ResNetBlock)
+            a = amb_block(16, dtype=dt, name="amb_res1")(a)
+            a = amb_block(16, dtype=dt, name="amb_res2")(a)
+
+            y = jnp.concatenate([up, a], axis=-1)
+            y = nn.selu(nn.Conv(32, (3, 3), padding="SAME", dtype=dt,
+                                name="ref_conv")(y))
+            ref_block = (nn.remat(ResNetBlock) if self.use_remat
+                         else ResNetBlock)
+            y = ref_block(32, dtype=dt, name="ref_res1")(y)
+            y = ref_block(32, dtype=dt, name="ref_res2")(y)
+            y = ref_block(32, dtype=dt, name="ref_res3")(y)
+            y = nn.selu(nn.Conv(16, (3, 3), padding="SAME", dtype=dt,
+                                name="final_conv")(y))
 
         disp = SigmoidAffineHead(self.max_disp, name="predict_disp")(
             y.astype(jnp.float32))

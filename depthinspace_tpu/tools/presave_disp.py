@@ -109,6 +109,20 @@ def build_mf_infer(settings, track_length=4, lcn_radius=5,
                                      settings.focal_length,
                                      settings.baseline)
             return _core(params, cam_, im, amb, primary, R, t, flow)
+    elif flow_source == "pred":
+        @jax.jit
+        def infer(params, cam_, im_u16, amb_u16, primary_u16, R, t):
+            """GT-free in-graph flow from the presaved primary (SF-predicted)
+            disparities + poses — the provider MF training uses with
+            --flow_source pred (train/steps.py)."""
+            s = jnp.float32
+            im = im_u16.astype(s) * (1.0 / 65535.0)
+            amb = amb_u16.astype(s) * (1.0 / 65535.0)
+            primary = primary_u16.astype(s) * (1.0 / 256.0)
+            flow = rigid_flow_device(cam_, primary, R, t,
+                                     settings.focal_length,
+                                     settings.baseline)
+            return _core(params, cam_, im, amb, primary, R, t, flow)
     elif flow_source == "net":
         from ..models.flownet import FlowNet, flow_all_pairs
         flow_net = FlowNet()
@@ -179,11 +193,13 @@ def main(argv=None):
     ap.add_argument("--batch", default=None, type=int,
                     help="samples per jit call (default: 8 SF / 4 MF)")
     ap.add_argument("--flow_source", default="file",
-                    choices=["file", "rigid", "net"],
+                    choices=["file", "rigid", "net", "pred"],
                     help="multi_frame only: rigid computes flow in-graph "
                          "from GT disparity + poses (synthetic data; no "
                          "flow.hdf5 needed); net uses the frozen learned "
-                         "FlowNet in-graph (GT-free)")
+                         "FlowNet in-graph (GT-free); pred computes flow "
+                         "in-graph from the presaved primary (SF-predicted) "
+                         "disparities + poses (GT-free)")
     ap.add_argument("--flow_params", default=None,
                     help="FlowNet msgpack for --flow_source net "
                          "(default OUTPUT_DIR/flownet.msgpack)")
@@ -253,6 +269,9 @@ def main(argv=None):
             if args.flow_source == "rigid":
                 out = infer(params, cam, st("im"), st("amb"), st("primary"),
                             st("disp_gt"), st("R"), st("t"))
+            elif args.flow_source == "pred":
+                out = infer(params, cam, st("im"), st("amb"), st("primary"),
+                            st("R"), st("t"))
             elif args.flow_source == "net":
                 out = infer(params, cam, flow_params, st("im"), st("amb"),
                             st("primary"), st("R"), st("t"))

@@ -70,7 +70,17 @@ class LossContext(NamedTuple):
     # transfer (the (tl,tl,H,W,2) flow block is ~60% of batch bytes);
     # "net": computed in-graph by the frozen learned FlowNet
     # (models/flownet.py::flow_all_pairs) — the GT-free provider fused
-    # into the step (replaces the presave_flow stage + flow transfer)
+    # into the step (replaces the presave_flow stage + flow transfer);
+    # "pred": computed in-graph from PREDICTED disparity + poses (MF:
+    # primary_disp, SF: the current stop-gradient prediction) — GT-free
+    # like "net", but exact up to the disparity error on static scenes.
+    # On this synthetic imagery image-based flow is near-ill-posed (the
+    # IR dots are projected from the moving rig so they do NOT follow
+    # scene correspondences, and the procedural ambient is textureless:
+    # measured val EPE — zero-flow 12.5, Farneback 12.55, learned 12.5),
+    # while "pred" flow error tracks the few-px disparity error.  The
+    # poses R/t are legitimate inputs: FuseNet itself consumes them
+    # (reference model/multi_frame_networks.py:172-185).
     flow_source: str = "file"
     # frozen FlowNet params for flow_source="net" (threaded through jit as
     # arguments like the other array constants)
@@ -282,7 +292,16 @@ def sf_losses(outs, batch, ctx: LossContext, *, train: bool,
     ge_num = ctx.track_length * (ctx.track_length - 1) / 2
     disp0 = outs[0][..., 0].reshape(tl, bs, H, W)
     depth = disp_to_depth(disp0, ctx.focal_length, ctx.baseline)
-    ge = geometric_loss_sf(ctx.cam, depth, batch.R, batch.t, batch.flow,
+    if ctx.flow_source == "pred":
+        # GT-free in-graph correspondences from the current prediction
+        # (stop-gradient inside rigid_flow_device): the flow the geometric
+        # consistency check uses improves with the disparity it checks
+        flow = rigid_flow_device(ctx.cam, jax.lax.stop_gradient(disp0),
+                                 batch.R, batch.t, ctx.focal_length,
+                                 ctx.baseline)
+    else:
+        flow = batch.flow
+    ge = geometric_loss_sf(ctx.cam, depth, batch.R, batch.t, flow,
                            batch.ambient, clamp=ctx.geo_clamp,
                            max_shift=ctx.geo_max_shift)
     comps.append(ctx.geo_weight / ge_num * ge)

@@ -67,6 +67,8 @@ def _make_step_fns(model, ctx: LossContext,
     static_ctx = ctx._replace(cam=None, pattern_lcn=None, pattern_pyr=None,
                               flow_params=None)
 
+    is_mf = architecture in ("multi_frame", "mf")
+
     def _prepare(batch: Batch, ctx_full: LossContext) -> Batch:
         if ctx.flow_source == "rigid":
             flow = rigid_flow_device(ctx_full.cam, batch.disp_gt, batch.R,
@@ -77,6 +79,14 @@ def _make_step_fns(model, ctx: LossContext,
             flow = flow_all_pairs(FlowNet(), ctx_full.flow_params,
                                   batch.im, batch.ambient,
                                   ctx.flow_in_channels)
+            batch = batch._replace(flow=flow)
+        elif ctx.flow_source == "pred" and is_mf:
+            # MF: the predicted-disparity provider uses the presaved primary
+            # disparities (the SF predictions FuseNet fuses anyway); the SF
+            # variant derives flow from the live prediction in sf_losses
+            flow = rigid_flow_device(ctx_full.cam, batch.primary_disp,
+                                     batch.R, batch.t, ctx.focal_length,
+                                     ctx.baseline)
             batch = batch._replace(flow=flow)
         return batch
 

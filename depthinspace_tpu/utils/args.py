@@ -77,13 +77,17 @@ def parse_args(argv=None):
                              "wire resolution); auto = device for test sets "
                              "over 64 samples")
     parser.add_argument("--flow_source", default="file",
-                        choices=["file", "rigid", "net"],
+                        choices=["file", "rigid", "net", "pred"],
                         help="file: flow.hdf5 from any presave provider; "
                              "rigid: computed in-graph from GT disparity + "
                              "poses (synthetic data only — skips loading "
                              "the flow block entirely); net: computed "
                              "in-graph by the frozen learned FlowNet "
-                             "(GT-free; replaces the presave_flow stage)")
+                             "(GT-free; replaces the presave_flow stage); "
+                             "pred: computed in-graph from PREDICTED "
+                             "disparity + poses (GT-free — MF uses the "
+                             "presaved primary disparities, SF the live "
+                             "stop-gradient prediction)")
     parser.add_argument("--flow_params", default="",
                         help="FlowNet msgpack for --flow_source net "
                              "(default OUTPUT_DIR/flownet.msgpack)")

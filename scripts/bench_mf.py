@@ -37,9 +37,11 @@ def main():
     settings = Settings(imsize=(H, W), pattern=make_dot_pattern(H, W),
                         baseline=0.025, K=K)
 
+    packed = "nopack" not in sys.argv
     model = FuseNet(imsize=(H, W), K=tuple(map(tuple, K.tolist())),
                     track_length=tl, max_disp=128.0,
-                    compute_dtype=jnp.dtype(dtype), use_remat=use_remat)
+                    compute_dtype=jnp.dtype(dtype), use_remat=use_remat,
+                    packed=packed)
     ctx = make_loss_context(settings, track_length=tl)
     opt = optax.adam(1e-4)
 

@@ -45,11 +45,16 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--minutes", type=float, required=True,
                     help="total wall-clock budget")
-    ap.add_argument("--flow_source", default="net",
-                    choices=["rigid", "net"],
-                    help="net = frozen learned FlowNet in-graph (GT-free, "
-                         "the reference-parity configuration); rigid = "
-                         "GT-depth-derived flow (plumbing checks only)")
+    ap.add_argument("--flow_source", default="pred",
+                    choices=["rigid", "net", "pred"],
+                    help="pred = in-graph rigid flow from PREDICTED "
+                         "disparity + poses (GT-free, the reference-parity "
+                         "configuration on this synthetic data — see "
+                         "train/objective.py::LossContext.flow_source); "
+                         "net = frozen learned FlowNet in-graph (GT-free; "
+                         "image-based flow is near-ill-posed on the "
+                         "rig-projected dot imagery); rigid = GT-depth-"
+                         "derived flow (plumbing checks only)")
     ap.add_argument("--sf_epochs", type=int, default=100)
     ap.add_argument("--mf_epochs", type=int, default=20)
     ap.add_argument("--ftsf_epochs", type=int, default=15)

@@ -66,8 +66,9 @@ def test_track_server_full_pipeline():
         jnp.broadcast_to(jnp.eye(3), (tl, 1, 3, 3)), z((tl, 1, 3)),
         z((tl, tl, 1, Ht, Wt, 2)))
     fl = FlowNet()
-    fl_params = fl.init(jax.random.key(2), z((1, Ht, Wt, 1)),
-                        z((1, Ht, Wt, 1)))
+    # 2-channel [ambient, IR] input — the trained default (train_flow)
+    fl_params = fl.init(jax.random.key(2), z((1, Ht, Wt, 2)),
+                        z((1, Ht, Wt, 2)))
 
     srv = TrackDisparityServer(
         sf_params, mf_params, fl_params, imsize=(Ht, Wt), K=K,

@@ -67,8 +67,10 @@ class RunConfig:
     # (data/cache.py — the single-core loader fast path); falls back to the
     # HDF5 TrackDataset when the cache or a required field is missing
     wire_cache: bool = True
-    # scale-s photometric at 1/2^s res (train/objective.py::LossContext)
-    photometric_pyramid: bool = True
+    # scale-s photometric at 1/2^s res (train/objective.py::LossContext).
+    # Off: the matched-step overfit A/B measured the reference's
+    # full-res-at-every-scale behavior better (STATUS.md round 4)
+    photometric_pyramid: bool = False
     geo_max_shift: int = 16                 # flow-warp enumeration half-width
     seed: int = 42
     learning_rate: float = 1e-4
@@ -109,7 +111,7 @@ class RunConfig:
             flow_source=getattr(args, "flow_source", "file"),
             flow_params=getattr(args, "flow_params", ""),
             wire_cache=getattr(args, "wire_cache", True),
-            photometric_pyramid=getattr(args, "photometric_pyramid", True),
+            photometric_pyramid=getattr(args, "photometric_pyramid", False),
             geo_max_shift=getattr(args, "geo_max_shift", 16),
             max_train_iter=getattr(args, "max_train_iter", -1),
             test_samples=getattr(args, "test_samples", -1),

@@ -96,7 +96,7 @@ class LossContext(NamedTuple):
     # photometric gradient; evaluating scale s at 1/2^s res widens capture
     # to ±4*2^s px (the CTD-style coarse-to-fine the per-scale loss list
     # was built for).
-    photometric_pyramid: bool = True
+    photometric_pyramid: bool = False
     # per-scale LCN'd patterns for scales 1..3 (filled by make_loss_context
     # when photometric_pyramid; threaded through jit as arguments)
     pattern_pyr: Optional[tuple] = None
@@ -111,7 +111,7 @@ def make_loss_context(settings, track_length=4, **kwargs) -> LossContext:
     pat_raw = jnp.asarray(settings.pattern_gray())
     pat_lcn, _ = lcn(pat_raw, radius, 0.05)
     pattern_pyr = None
-    if kwargs.get("photometric_pyramid", True):
+    if kwargs.get("photometric_pyramid", False):
         # per-scale patterns: downsample the RAW pattern, then LCN — the
         # reference's per-scale construction order (its dataset pyramid is
         # resized raw images, LCN applied after; single_frame_worker.py:62-67)

@@ -55,10 +55,12 @@ def parse_args(argv=None):
     parser.add_argument("--photometric_pyramid",
                         help="Compute the scale-s photometric loss at "
                              "1/2^s resolution (coarse-to-fine capture "
-                             "range; see train/objective.py). false = the "
+                             "range; see train/objective.py). Default off: "
+                             "a matched 2000-step overfit A/B measured the "
                              "reference worker's full-res-at-every-scale "
-                             "behavior",
-                        default=True, type=str2bool)
+                             "behavior BETTER (o(1) 0.295 vs 0.324, "
+                             "output/overfit_sf_{fullres,pyr}.json)",
+                        default=False, type=str2bool)
     parser.add_argument("--wire_cache",
                         help="Serve batches from the pre-encoded wire "
                              "cache when present (data/cache.py)",

@@ -9,6 +9,8 @@ estimates disagree by more than ~a pixel.  This script measures, on real
 dataset samples, the accept fraction of each mask for each provider:
 
   rigid  — GT-depth-derived flow (exact on static scenes; upper bound)
+  pred   — rigid flow from the presaved PRIMARY (SF-predicted) disparity
+           (the flow_source=pred provider; needs single_frame_disp.hdf5)
   net    — the trained FlowNet (output/flownet.msgpack)
   zero   — all-zeros flow (no-skill floor)
 
@@ -72,6 +74,18 @@ def main():
                                        settings.focal_length,
                                        settings.baseline)
     flows["zero"] = jnp.zeros_like(flows["rigid"])
+    # "pred": rigid flow from the presaved PRIMARY (SF-predicted) disparity
+    # — the flow_source=pred provider (train/objective.py)
+    if all((Path(p) / "single_frame_disp.hdf5").exists() for p in paths):
+        import h5py
+        prim = []
+        for p in paths:
+            with h5py.File(Path(p) / "single_frame_disp.hdf5", "r") as f:
+                prim.append(np.asarray(f["disp"][:4, 0], np.float32))
+        prim = jnp.asarray(np.stack(prim, axis=1))      # (tl, N, H, W)
+        flows["pred"] = rigid_flow_device(cam, prim, R, t,
+                                          settings.focal_length,
+                                          settings.baseline)
     if Path(args.flow_params).exists():
         from depthinspace_tpu.models.flownet import FlowNet, flow_all_pairs
         from depthinspace_tpu.tools.train_flow import load_flow_params

@@ -85,6 +85,9 @@ def main():
     data_dir = Path(paths["DATA_DIR"])
 
     def mkcfg(architecture, **kw):
+        # train stages skip the per-eval debug-PNG rendering (host-bound on
+        # this 1-core VM); the final retests re-enable their own artifacts
+        kw.setdefault("write_debug_images", False)
         return RunConfig(data_dir=data_dir, output_dir=out_root,
                          architecture=architecture,
                          flow_source=args.flow_source,

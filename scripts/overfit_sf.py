@@ -40,8 +40,10 @@ def main():
     ap.add_argument("--platform", default=None,
                     help="force jax platform (e.g. cpu for smoke tests)")
     ap.add_argument("--geo_max_shift", type=int, default=16)
-    ap.add_argument("--photometric_pyramid", default="true",
-                    help="true/false: scale-s photometric at 1/2^s res")
+    ap.add_argument("--photometric_pyramid", default="false",
+                    help="true/false: scale-s photometric at 1/2^s res "
+                         "(default matches the repo default: off — the "
+                         "matched A/B measured full-res better, STATUS.md)")
     args = ap.parse_args()
     args.photometric_pyramid = args.photometric_pyramid.lower() != "false"
 

@@ -35,6 +35,10 @@ import numpy as np
 BASELINE_MF_STEPS_PER_SEC = 1.04  # derived per-chip target (BASELINE.md)
 BASELINE_SF_STEPS_PER_SEC = 2.74  # derived per-chip target (BASELINE.md)
 V5E_BF16_PEAK_FLOPS = 197e12
+# the REFERENCE model's MF step FLOPs (XLA cost analysis of the unpacked
+# frame-major model, bs=4 — BASELINE.md); the packed block-diagonal convs
+# execute ~3x this in structurally-zero MXU work
+MF_REFERENCE_MODEL_TFLOPS = 5.75
 
 H, W = 512, 432
 TL = 4
@@ -248,8 +252,18 @@ def main():
                               data_type="real")
     sub["sf_real_train_steps_per_sec"] = round(real_sps, 4)
     if mf_flops:
-        sub["mf_step_tflops"] = round(mf_flops / 1e12, 3)
-        sub["mf_mfu_vs_v5e_bf16_peak"] = round(
+        # two MFU figures: XLA's cost analysis counts the frame-packed
+        # block-diagonal conv FLOPs (3/4 structural zeros the MXU does for
+        # free — models/packed.py), inflating the step ~3x over the
+        # reference model's work; the honest headline utilization is
+        # REFERENCE-model FLOPs (5.75 TFLOP/step, BASELINE.md) x steps/s
+        # over peak, reported as mf_mfu_reference_model_flops
+        sub["mf_step_tflops_xla_counted"] = round(mf_flops / 1e12, 3)
+        sub["mf_step_tflops_reference_model"] = MF_REFERENCE_MODEL_TFLOPS
+        sub["mf_mfu_reference_model_flops"] = round(
+            MF_REFERENCE_MODEL_TFLOPS * 1e12 * mf_sps / V5E_BF16_PEAK_FLOPS,
+            4)
+        sub["mf_mfu_xla_counted_flops"] = round(
             mf_flops * mf_sps / V5E_BF16_PEAK_FLOPS, 4)
     if sf_flops:
         sub["sf_step_tflops"] = round(sf_flops / 1e12, 3)

@@ -166,12 +166,9 @@ def se3_log(T) -> np.ndarray:
         V_inv = np.eye(3)
     else:
         K = skew(w / theta)
-        A = np.sin(theta) / theta
-        B = (1 - np.cos(theta)) / theta ** 2 * theta ** 2
         V = (np.eye(3) + (1 - np.cos(theta)) / theta * K
              + (theta - np.sin(theta)) / theta * (K @ K))
         V_inv = np.linalg.inv(V)
-        del A, B
     return np.concatenate([V_inv @ t, w])
 
 
@@ -209,12 +206,23 @@ def quat_distance_normdiff(es, ta) -> np.ndarray:
 
 # ----------------------------------------------------------------- meshes
 def xyplane(z: float = 0.0, interleaved: bool = False):
-    """Unit xy quad at depth z: (verts (4,3), faces (2,3), normals)."""
-    v = np.array([[-1, -1, z], [1, -1, z], [1, 1, z], [-1, 1, z]], np.float32)
-    f = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
-    n = np.tile(np.array([[0, 0, -1]], np.float32), (4, 1))
+    """Unit xy quad at depth z: (verts, faces, normals).
+
+    interleaved=True returns two independent triangles (6 verts, shared
+    edge split by eps) like the reference co/geometry.py:662-674 — used
+    for per-triangle attribute rendering.
+    """
     if interleaved:
-        return v, f, n
+        eps = 1e-6
+        v = np.array([[-1, -1, z], [-1, 1, z], [1, 1, z],
+                      [1 - eps, 1, z], [1 - eps, -1, z], [-1 - eps, -1, z]],
+                     np.float32)
+        f = np.array([[0, 1, 2], [3, 4, 5]], np.int32)
+    else:
+        v = np.array([[-1, -1, z], [-1, 1, z], [1, 1, z], [1, -1, z]],
+                     np.float32)
+        f = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    n = np.tile(np.array([[0, 0, -1]], np.float32), (len(v), 1))
     return v, f, n
 
 

@@ -44,7 +44,13 @@ def main():
     dirs = sorted(p for p in root.glob("0*") if (p / "frames.hdf5").exists())
     dirs = dirs[args.offset:args.offset + args.samples]
 
-    rows = {"zero": [], "farneback": [], "pred": []}
+    learned_infer, learned_channels = None, 1
+    if args.learned and Path(args.learned).exists():
+        from depthinspace_tpu.tools.presave_flow import make_learned_infer
+        learned_infer, learned_channels = make_learned_infer(
+            args.learned, settings.imsize)
+
+    rows = {"zero": [], "farneback": [], "learned": [], "pred": []}
     rng = np.random.RandomState(12345)
     for d in dirs:
         with h5py.File(d / "frames.hdf5", "r") as f:
@@ -52,6 +58,8 @@ def main():
             i, j = rng.choice(tl, size=2, replace=False)
             amb_i = np.asarray(f["ambient"][i, 0], np.float32)
             amb_j = np.asarray(f["ambient"][j, 0], np.float32)
+            im_i = np.asarray(f["im"][i, 0], np.float32)
+            im_j = np.asarray(f["im"][j, 0], np.float32)
             disp_gt = np.asarray(f["disp"][i, 0], np.float32)
             R = np.asarray(f["R"], np.float32)
             t = np.asarray(f["t"], np.float32)
@@ -61,6 +69,13 @@ def main():
 
         rows["zero"].append(epe(np.zeros_like(gt)))
         rows["farneback"].append(epe(farneback_flow(amb_i, amb_j)))
+        if learned_infer is not None:
+            if learned_channels == 2:
+                a = np.stack([amb_i, im_i], axis=-1)[None]
+                b_ = np.stack([amb_j, im_j], axis=-1)[None]
+            else:
+                a, b_ = amb_i[None, ..., None], amb_j[None, ..., None]
+            rows["learned"].append(epe(np.asarray(learned_infer(a, b_))[0]))
 
         primary_path = d / "single_frame_disp.hdf5"
         if primary_path.exists():

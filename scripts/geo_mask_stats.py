@@ -78,10 +78,11 @@ def main():
     # — the flow_source=pred provider (train/objective.py)
     if all((Path(p) / "single_frame_disp.hdf5").exists() for p in paths):
         import h5py
+        tl = b.R.shape[0]
         prim = []
         for p in paths:
             with h5py.File(Path(p) / "single_frame_disp.hdf5", "r") as f:
-                prim.append(np.asarray(f["disp"][:4, 0], np.float32))
+                prim.append(np.asarray(f["disp"][:tl, 0], np.float32))
         prim = jnp.asarray(np.stack(prim, axis=1))      # (tl, N, H, W)
         flows["pred"] = rigid_flow_device(cam, prim, R, t,
                                           settings.focal_length,

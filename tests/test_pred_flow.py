@@ -21,8 +21,7 @@ from depthinspace_tpu.data.dataset import collate
 from depthinspace_tpu.data.wire import encode_batch
 from depthinspace_tpu.models import DispNet, FuseNet
 from depthinspace_tpu.parallel import put_batch
-from depthinspace_tpu.train.objective import (make_loss_context,
-                                              rigid_flow_device)
+from depthinspace_tpu.train.objective import make_loss_context
 from depthinspace_tpu.train.steps import build_steps
 from depthinspace_tpu.train.state import TrainState
 
@@ -60,20 +59,45 @@ def test_sf_pred_flow_step_runs(fixture_batch):
 
 
 def test_pred_flow_matches_rigid_at_gt(fixture_batch):
+    """Provider consistency through the REAL step path: the MF eval step
+    with flow_source='pred' and primary_disp == disp_gt must produce the
+    same loss components as flow_source='rigid' (whose _prepare derives
+    flow from disp_gt) — the pred provider's flow really is the rigid flow
+    of the disparity it is handed."""
     settings, batch = fixture_batch
+    H, W = settings.imsize
+    K = tuple(map(tuple, settings.K.tolist()))
+    model = FuseNet(imsize=(H, W), K=K, track_length=4, block_num=1,
+                    channels=8, max_disp=128.0, use_remat=False)
+    opt = optax.adam(1e-4)
+    tl = 4
+    zeros = jnp.zeros
+    params = model.init(
+        jax.random.key(0), zeros((tl, 1, H, W, 2)), zeros((tl, 1, H, W, 1)),
+        zeros((tl, 1, H, W, 1)), jnp.ones((tl, 1, H, W, 1)),
+        jnp.broadcast_to(jnp.eye(3), (tl, 1, 3, 3)), zeros((tl, 1, 3)),
+        zeros((tl, tl, 1, H, W, 2)))
+    epoch = jnp.asarray(5.0, jnp.float32)  # past the warmup gate
+
+    comps = {}
+    for source in ("rigid", "pred"):
+        b = batch._replace(primary_disp=batch.disp_gt)
+        dev = put_batch(encode_batch(b), None)
+        ctx = make_loss_context(settings, track_length=4, flow_source=source)
+        _, eval_step = build_steps(model, ctx, opt, "multi_frame")
+        _, c = eval_step(params, dev, epoch)
+        comps[source] = np.asarray(c)
+    np.testing.assert_allclose(comps["pred"], comps["rigid"],
+                               rtol=1e-5, atol=1e-6)
+    # and a perturbed primary moves the pred-provider's geometric term
+    # (the flow really derives from the disparity argument)
+    b_off = batch._replace(
+        primary_disp=np.maximum(batch.disp_gt + 2.0, 0.1))
+    dev_off = put_batch(encode_batch(b_off), None)
     ctx = make_loss_context(settings, track_length=4, flow_source="pred")
-    disp = jnp.asarray(batch.disp_gt)
-    R, t = jnp.asarray(batch.R), jnp.asarray(batch.t)
-    f_gt = rigid_flow_device(ctx.cam, disp, R, t, ctx.focal_length,
-                             ctx.baseline)
-    f_pred = rigid_flow_device(ctx.cam, disp + 0.0, R, t, ctx.focal_length,
-                               ctx.baseline)
-    np.testing.assert_allclose(np.asarray(f_gt), np.asarray(f_pred))
-    # and a perturbed prediction moves the flow (it is really derived
-    # from the disparity argument)
-    f_off = rigid_flow_device(ctx.cam, disp + 1.0, R, t, ctx.focal_length,
-                              ctx.baseline)
-    assert float(jnp.max(jnp.abs(f_off - f_gt))) > 1e-3
+    _, eval_step = build_steps(model, ctx, opt, "multi_frame")
+    _, c_off = eval_step(params, dev_off, epoch)
+    assert abs(float(np.asarray(c_off)[2]) - float(comps["pred"][2])) > 1e-5
 
 
 def test_mf_pred_flow_step_runs(fixture_batch):

@@ -52,6 +52,12 @@ class RunConfig:
     # fits HBM without it and runs ~25% faster (remat is for larger
     # batches/resolutions)
     mf_remat: bool = False
+    # gradient-accumulation microbatches per optimizer step (train/steps.py):
+    # 0 = auto (2 for the full-res noremat DIS-MF graph, whose bs=4
+    # activations alone are ~15.9 GiB on a 16 GiB v5e; 1 otherwise).
+    # Exact full-batch gradients for plain-mean loss terms; masked-mean
+    # terms normalize per microbatch (same statistics as the smaller batch).
+    accum_steps: int = 0
     device_augment: bool = True             # augmentation inside the jit step
     test_frequency: int = 1                 # eval every N epochs
     # eval-metric backend: exact (host, buffers per-pixel distances),
@@ -105,6 +111,7 @@ class RunConfig:
             use_pseudo_gt=args.use_pseudo_gt,
             mf_dtype=getattr(args, "mf_dtype", "bfloat16"),
             mf_remat=getattr(args, "mf_remat", False),
+            accum_steps=getattr(args, "accum_steps", 0),
             device_augment=getattr(args, "device_augment", True),
             test_frequency=getattr(args, "test_frequency", 1),
             eval_metrics=getattr(args, "eval_metrics", "auto"),

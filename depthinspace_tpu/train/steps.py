@@ -42,13 +42,48 @@ def _mf_forward(model, params, batch: Batch, ctx: LossContext):
                        batch.flow)              # (tl, bs, H, W, 1)
 
 
+def _chunk_batch(batch: Batch, k: int, dp: int = 1) -> Batch:
+    """Split the batch-size axis into k leading scan chunks.
+
+    Every field is (tl, bs, ...) except flow (tl, tl, bs, ...); the chunk
+    count moves to a new leading axis: (k, tl, bs/k, ...).  With ``dp``
+    data-parallel shards the bs axis is block-distributed over devices, so
+    each chunk takes bs/(dp*k) consecutive samples from EVERY device's
+    block (reshape (dp, k, per) + transpose — device-local data movement,
+    no collective)."""
+    def split(name, x):
+        if x is None:
+            return None
+        a = 2 if name == "flow" else 1
+        bs = x.shape[a]
+        assert bs % (dp * k) == 0, \
+            f"batch size {bs} not divisible by dp*accum={dp}x{k}"
+        x = x.reshape(*x.shape[:a], dp, k, bs // (dp * k), *x.shape[a + 1:])
+        x = jnp.moveaxis(x, a + 1, 0)               # (k, ..., dp, per, ...)
+        return x.reshape(*x.shape[:a + 1], bs // k, *x.shape[a + 3:])
+    return Batch(**{f: split(f, getattr(batch, f)) for f in Batch._fields})
+
+
 def _make_step_fns(model, ctx: LossContext,
                    optimizer: optax.GradientTransformation,
-                   architecture: str):
+                   architecture: str, accum_steps: int = 1):
     """Raw (unjitted) train/eval step functions plus the threaded constants.
 
     Shared by ``build_steps`` (jit + closure) and ``build_steps_aot``
     (explicit AOT lowering for off-hardware compile checks).
+
+    ``accum_steps > 1`` runs the forward+backward over bs/accum microbatches
+    under ``lax.scan`` and applies the averaged gradient once — peak
+    activation memory drops to one microbatch's (the bs=4 bf16 noremat
+    DIS-MF graph is ~15.9 GiB temp on a 16 GiB v5e; accum=2 is what lets
+    the un-rematerialized graph train in the worker).  These models carry
+    no batch statistics (GroupNorm only), so the averaged microbatch
+    gradient equals the full-batch gradient exactly for plain-mean loss
+    terms (smoothness, the MF/pseudo-GT L1s); the masked-mean terms
+    (photometric, geometric, SGM) normalize by each microbatch's own mask
+    count instead of the full batch's — the same statistic as training at
+    the smaller batch size (measured grad delta ~1e-4 on fixtures,
+    tests/test_accum.py).
     """
     if architecture in ("single_frame", "sf"):
         forward, losses = _sf_forward, sf_losses
@@ -97,18 +132,48 @@ def _make_step_fns(model, ctx: LossContext,
                                        pattern_pyr=pattern_pyr,
                                        flow_params=flow_params)
         rng, step_rng, aug_rng = jax.random.split(state.rng, 3)
-        if ctx.augment:
-            batch = augment_batch_device(batch, aug_rng, ctx_full)
-        batch = _prepare(batch, ctx_full)
 
-        def loss_fn(params):
-            outs = forward(model, params, batch, ctx_full)
-            total, comps = losses(outs, batch, ctx_full, train=True,
-                                  epoch=epoch, rng=step_rng)
-            return total, comps
+        def grads_of(b: Batch, srng, arng):
+            if ctx.augment:
+                b = augment_batch_device(b, arng, ctx_full)
+            b = _prepare(b, ctx_full)
 
-        (_, comps), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params)
+            def loss_fn(params):
+                outs = forward(model, params, b, ctx_full)
+                total, comps = losses(outs, b, ctx_full, train=True,
+                                      epoch=epoch, rng=srng)
+                return total, comps
+
+            (_, comps), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params)
+            return grads, comps
+
+        if accum_steps <= 1:
+            grads, comps = grads_of(batch, step_rng, aug_rng)
+        else:
+            chunks = _chunk_batch(batch, accum_steps)
+
+            def body(carry, xs):
+                g_acc, c_acc = carry
+                b, i = xs
+                g, c = grads_of(b, jax.random.fold_in(step_rng, i),
+                                jax.random.fold_in(aug_rng, i))
+                return (jax.tree.map(jnp.add, g_acc, g), c_acc + c), None
+
+            zero_g = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+            # component count depends on the loss config: trace one chunk
+            # abstractly to size the accumulator
+            n_comp = jax.eval_shape(
+                lambda: grads_of(jax.tree.map(lambda x: x[0], chunks),
+                                 step_rng, aug_rng)[1]).shape[0]
+            (g_sum, c_sum), _ = jax.lax.scan(
+                body, (zero_g, jnp.zeros((n_comp,), jnp.float32)),
+                (chunks, jnp.arange(accum_steps)))
+            inv = 1.0 / accum_steps
+            grads = jax.tree.map(lambda g: (g * inv).astype(g.dtype), g_sum)
+            comps = c_sum * inv
+
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = optax.apply_updates(state.params, updates)
@@ -137,14 +202,14 @@ def _make_step_fns(model, ctx: LossContext,
 
 
 def build_steps(model, ctx: LossContext, optimizer: optax.GradientTransformation,
-                architecture: str, mesh=None):
+                architecture: str, mesh=None, accum_steps: int = 1):
     """Returns (train_step, eval_step), both jitted with DP shardings.
 
     train_step(state, batch, epoch) -> (state, components)
     eval_step(params, batch, epoch) -> (disp0 (tl,bs,H,W), components)
     """
     train_step, eval_step, consts = _make_step_fns(model, ctx, optimizer,
-                                                   architecture)
+                                                   architecture, accum_steps)
 
     # Sharding is carried by the *inputs*: `put_batch` commits the batch with
     # its per-leaf NamedShardings and the state is replicated at creation;
@@ -170,7 +235,8 @@ def build_steps(model, ctx: LossContext, optimizer: optax.GradientTransformation
 
 def build_steps_aot(model, ctx: LossContext,
                     optimizer: optax.GradientTransformation,
-                    architecture: str, mesh, state, batch: Batch):
+                    architecture: str, mesh, state, batch: Batch,
+                    accum_steps: int = 1):
     """AOT-lower the sharded train step at the given abstract shapes.
 
     ``state``/``batch`` may be concrete arrays or ShapeDtypeStruct pytrees —
@@ -182,7 +248,7 @@ def build_steps_aot(model, ctx: LossContext,
     from ..parallel.mesh import batch_shardings, replicated
 
     train_step, _, consts = _make_step_fns(model, ctx, optimizer,
-                                           architecture)
+                                           architecture, accum_steps)
     repl = replicated(mesh)
     b_shardings = batch_shardings(mesh, batch)
 

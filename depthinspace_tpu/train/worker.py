@@ -164,13 +164,32 @@ class Worker:
             assert cfg.data_type == "synthetic", \
                 "--flow_source rigid needs GT disparity (synthetic data)"
         self.optimizer = optax.adam(cfg.learning_rate)
+        self.accum_steps = self._resolve_accum()
+        if self.accum_steps > 1:
+            logging.info(f"gradient accumulation: {self.accum_steps} "
+                         "microbatches per optimizer step")
         self.train_step, self.eval_step = build_steps(
             self.model, self.ctx, self.optimizer, self.architecture,
-            self.mesh)
+            self.mesh, accum_steps=self.accum_steps)
         self.ckpt = StateCheckpointer(self.exp_dir)
         self.current_epoch = 0
 
     # ------------------------------------------------------------- setup
+    def _resolve_accum(self) -> int:
+        """0 = auto: the un-rematerialized full-res DIS-MF graph's bs-4
+        activations are ~15.9 GiB (scripts/aot_compile_mf.py) — right at
+        the 16 GiB v5e HBM — so split it in 2 exact microbatches per
+        device; every other config fits in one."""
+        if self.cfg.accum_steps > 0:
+            return self.cfg.accum_steps
+        per_dev_bs = self.cfg.train_batch_size // self.mesh_size
+        H, W = self.imsize
+        if (self.architecture == "multi_frame" and not self.cfg.mf_remat
+                and per_dev_bs >= 4 and H * W >= 512 * 432
+                and per_dev_bs % 2 == 0):
+            return 2
+        return 1
+
     def _setup_logging(self):
         if logging.root:
             del logging.root.handlers[:]
@@ -516,8 +535,49 @@ class Worker:
             self.metric_add_test(epoch, set_idx, k, v)
         self.metric_add_test(epoch, set_idx, "loss", mean_loss)
         self.metric_save()
+        try:                       # plots must never kill a run
+            self.write_err_img()
+        except Exception as e:
+            logging.warning(f"errs.png failed: {e}")
         logging.info(f"test epoch {epoch}: avg test_loss={sum(mean_loss):0.4f}")
         return mean_loss
+
+    def write_err_img(self):
+        """Per-epoch train/test loss curves -> errs.png (the reference's
+        training-progress plot, model/worker.py:312-322 — there per batch
+        from errs_list; here per epoch from metrics.json, which is what
+        this worker records)."""
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        epochs = sorted(int(e) for e in self.metric_data)
+        series = {}                      # label -> (xs, ys)
+        for ep in epochs:
+            d = self.metric_data[str(ep)]
+            tr = d.get("train", {}).get("loss")
+            if tr is not None:
+                series.setdefault("train", ([], []))
+                series["train"][0].append(ep)
+                series["train"][1].append(sum(tr))
+            for set_idx, td in d.get("test", {}).items():
+                te = td.get("loss")
+                if te is not None:
+                    lbl = f"test{set_idx}"
+                    series.setdefault(lbl, ([], []))
+                    series[lbl][0].append(ep)
+                    series[lbl][1].append(sum(te))
+        if not series:
+            return
+        fig = plt.figure(figsize=(8, 6))
+        for lbl, (xs, ys) in sorted(series.items()):
+            plt.plot(xs, ys, marker=".", label=lbl)
+        plt.xlabel("epoch")
+        plt.ylabel("total loss")
+        plt.legend()
+        plt.tight_layout()
+        fig.savefig(str(self.exp_dir / "errs.png"))
+        plt.close(fig)
 
     def retest(self, epoch=-1):
         test_sets = self.make_test_sets()

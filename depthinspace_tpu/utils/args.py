@@ -99,6 +99,15 @@ def parse_args(argv=None):
                              "faster and bf16 bs=4 at 512x432 fits without "
                              "it — enable for larger batches/resolutions)",
                         default=False, type=str2bool)
+    parser.add_argument("--accum_steps",
+                        help="Gradient-accumulation microbatches per "
+                             "optimizer step (0 = auto: 2 for the full-res "
+                             "noremat DIS-MF graph so bs=4 fits the 16 GiB "
+                             "v5e in-worker, 1 otherwise). Exact full-batch "
+                             "gradients for plain-mean loss terms; "
+                             "masked-mean terms normalize per microbatch "
+                             "(same statistics as the smaller batch)",
+                        default=0, type=int)
     parser.add_argument("--geo_max_shift",
                         help="Half-width (px) of the enumeration window of "
                              "the Pallas flow-warp kernels in the geometric "

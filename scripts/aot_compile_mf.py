@@ -3,10 +3,17 @@
 
 Populates the persistent compilation cache and prints the compiled memory
 analysis, so variants can be compiled while another job owns the chip and
-measured later with a cache hit.
+measured later with a cache hit.  ``--flow_source pred --augment --wire``
+reproduces the WORKER-context graph (in-graph pred flow from the primary
+disparities + device augmentation + u16 wire batch) whose bs=4 bf16
+noremat variant OOM'd in round 4 — compare its footprint against the
+bench-context graph (defaults: file flow, no augment, f32 batch).
 
-Usage: python scripts/aot_compile_mf.py [bs] [dtype] [remat|noremat]
+Usage: python scripts/aot_compile_mf.py [--bs 4] [--dtype bfloat16]
+           [--noremat] [--flow_source file|pred] [--augment] [--wire]
+           [--assert_hbm]
 """
+import argparse
 import sys
 import time
 
@@ -16,9 +23,21 @@ import numpy as np
 
 
 def main():
-    bs = int(sys.argv[1]) if len(sys.argv) > 1 else 4
-    dtype = sys.argv[2] if len(sys.argv) > 2 else "bfloat16"
-    use_remat = not (len(sys.argv) > 3 and sys.argv[3] == "noremat")
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bs", type=int, default=4)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--noremat", action="store_true")
+    ap.add_argument("--flow_source", default="file",
+                    choices=["file", "pred"])
+    ap.add_argument("--augment", action="store_true")
+    ap.add_argument("--wire", action="store_true",
+                    help="u16/int16 wire-encoded batch (the worker path)")
+    ap.add_argument("--accum", type=int, default=1,
+                    help="gradient-accumulation microbatches")
+    ap.add_argument("--assert_hbm", action="store_true",
+                    help="assert footprint < 15 GiB (v5e bound)")
+    args = ap.parse_args()
+    bs, use_remat = args.bs, not args.noremat
 
     import jax
     import jax.numpy as jnp
@@ -41,11 +60,14 @@ def main():
                         baseline=0.025, K=K)
     model = FuseNet(imsize=(H, W), K=tuple(map(tuple, K.tolist())),
                     track_length=tl, max_disp=128.0,
-                    compute_dtype=jnp.dtype(dtype), use_remat=use_remat)
-    ctx = make_loss_context(settings, track_length=tl)
+                    compute_dtype=jnp.dtype(args.dtype), use_remat=use_remat)
+    ctx = make_loss_context(settings, track_length=tl,
+                            flow_source=args.flow_source,
+                            augment=args.augment)
     opt = optax.adam(1e-4)
 
-    train_step, _, consts = _make_step_fns(model, ctx, opt, "multi_frame")
+    train_step, _, consts = _make_step_fns(model, ctx, opt, "multi_frame",
+                                           accum_steps=args.accum)
 
     zeros = jnp.zeros
     params_abs = jax.eval_shape(
@@ -58,18 +80,24 @@ def main():
     state_abs = jax.eval_shape(
         lambda p: TrainState.create(p, opt, jax.random.key(1)), params_abs)
 
-    sds = lambda shape: jax.ShapeDtypeStruct(shape, np.float32)
+    heavy = np.uint16 if args.wire else np.float32
+    sds = lambda shape, dt=np.float32: jax.ShapeDtypeStruct(shape, dt)
     batch_abs = Batch(
-        im=sds((tl, bs, H, W)), ambient=sds((tl, bs, H, W)),
-        disp_gt=sds((tl, bs, H, W)), R=sds((tl, bs, 3, 3)),
-        t=sds((tl, bs, 3)), flow=sds((tl, tl, bs, H, W, 2)),
-        primary_disp=sds((tl, bs, H, W)))
+        im=sds((tl, bs, H, W), heavy), ambient=sds((tl, bs, H, W), heavy),
+        disp_gt=sds((tl, bs, H, W), heavy), R=sds((tl, bs, 3, 3)),
+        t=sds((tl, bs, 3)),
+        flow=(None if args.flow_source == "pred" else
+              sds((tl, tl, bs, H, W, 2),
+                  np.int16 if args.wire else np.float32)),
+        primary_disp=sds((tl, bs, H, W), heavy))
     consts_abs = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), consts)
     epoch_abs = jax.ShapeDtypeStruct((), jnp.float32)
 
-    print(f"lowering MF train step: bs={bs} dtype={dtype} "
-          f"remat={use_remat}", flush=True)
+    print(f"lowering MF train step: bs={bs} dtype={args.dtype} "
+          f"remat={use_remat} flow={args.flow_source} "
+          f"augment={args.augment} wire={args.wire} accum={args.accum}",
+          flush=True)
     t0 = time.time()
     lowered = jax.jit(train_step, donate_argnums=(0,)).lower(
         state_abs, batch_abs, epoch_abs, consts_abs)
@@ -80,7 +108,7 @@ def main():
         print(f"temp {mem.temp_size_in_bytes/2**30:.2f}G  "
               f"arg {mem.argument_size_in_bytes/2**30:.2f}G  "
               f"out {mem.output_size_in_bytes/2**30:.2f}G")
-        if "--assert_hbm" in sys.argv:
+        if args.assert_hbm:
             # off-hardware HBM bound for the production MF config (the one
             # with the OOM history): the TPU executable's footprint must
             # leave headroom under the 16 GiB v5e chip
@@ -90,7 +118,7 @@ def main():
                 f"MF step footprint {total / 2**30:.2f} GiB >= 15 GiB bound"
             print(f"HBM bound OK: {total / 2**30:.2f} GiB < 15 GiB")
     except Exception as e:
-        if "--assert_hbm" in sys.argv:
+        if args.assert_hbm:
             raise
         print(f"memory_analysis unavailable: {e}")
 

@@ -89,7 +89,8 @@ def _flops_of(jitfn, *args):
 
 
 def bench_train(architecture, bs, n_steps, use_pseudo_gt=False,
-                data_type="synthetic"):
+                data_type="synthetic", accum_steps=1, flow_source="file",
+                augment=False):
     import jax
     import jax.numpy as jnp
     import optax
@@ -99,7 +100,8 @@ def bench_train(architecture, bs, n_steps, use_pseudo_gt=False,
 
     settings, K = _settings()
     ctx = make_loss_context(settings, track_length=TL,
-                            use_pseudo_gt=use_pseudo_gt, data_type=data_type)
+                            use_pseudo_gt=use_pseudo_gt, data_type=data_type,
+                            flow_source=flow_source, augment=augment)
     opt = optax.adam(1e-4)
     zeros = jnp.zeros
 
@@ -121,7 +123,10 @@ def bench_train(architecture, bs, n_steps, use_pseudo_gt=False,
         batch = _batch(bs, with_primary=True)
 
     state = TrainState.create(params, opt, jax.random.key(1))
-    train_step, _ = build_steps(model, ctx, opt, architecture, mesh=None)
+    train_step, _ = build_steps(model, ctx, opt, architecture, mesh=None,
+                                accum_steps=accum_steps)
+    if flow_source == "pred":
+        batch = batch._replace(flow=None)
     batch = jax.device_put(batch)
     epoch = jnp.asarray(0.0)
 

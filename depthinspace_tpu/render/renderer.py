@@ -60,12 +60,19 @@ class Camera:
 
 
 class Shader:
-    """Lambert/Phong shading + projector distance attenuation."""
+    """Lambert/Phong shading + projector distance attenuation.
+
+    ``tex_amp > 0`` enables per-pixel procedural albedo texture (2-octave
+    3D value noise of the world position, native/render.cpp) — scene-fixed
+    high-frequency texture that makes image-based optical flow well-posed
+    on the ambient renders."""
 
     def __init__(self, ka=0.5, kd=1.5, ks=0.0, alpha=10.0,
-                 d_alpha=0.0, d_beta=0.0):
-        self.params_arr = np.array([ka, kd, ks, alpha, d_alpha, d_beta],
-                                   np.float32)
+                 d_alpha=0.0, d_beta=0.0, tex_amp=0.0, tex_scale=4.0,
+                 tex_offset=(0.0, 0.0, 0.0)):
+        self.params_arr = np.array(
+            [ka, kd, ks, alpha, d_alpha, d_beta, tex_amp, tex_scale,
+             tex_offset[0], tex_offset[1], tex_offset[2]], np.float32)
 
 
 class RenderInput:

@@ -190,12 +190,23 @@ def build_scene(rng: np.random.RandomState, objs, min_z=0.0):
 # -------------------------------------------------------------- main
 def create_sample(pattern_type, out_root, idx, n_samples, imsize_proj,
                   imsize, pattern, K_proj, K, K_processed, baseline,
-                  blend_im, objs, track_length=4):
+                  blend_im, objs, track_length=4, textured=False):
     tic = time.time()
     rng = np.random.RandomState(idx)
 
     verts, faces, colors, normals = build_scene(rng, objs)
     data = RenderInput(verts, faces, colors, normals)
+
+    # scene-fixed procedural albedo texture (--textured): parameters drawn
+    # once per SAMPLE so the texture is rigid across the track's frames —
+    # the scene-attached high-frequency signal image-based optical flow
+    # needs (the plain Lambert ambient is near-textureless; STATUS.md
+    # round 4 measured learned/Farneback flow at the zero-flow floor on it)
+    tex = {}
+    if textured:
+        tex = dict(tex_amp=rng.uniform(0.35, 0.7),
+                   tex_scale=rng.uniform(2.0, 6.0),
+                   tex_offset=tuple(rng.uniform(-50, 50, 3)))
 
     center = np.array([0, 0, 3], np.float32)
     basevec = np.array([-baseline, 0, 0], np.float32)
@@ -222,7 +233,7 @@ def create_sample(pattern_type, out_root, idx, n_samples, imsize_proj,
         proj = Camera(K_proj[0, 0], K_proj[1, 1], K_proj[0, 2], K_proj[1, 2],
                       Rcam, tproj, imsize_proj[1], imsize_proj[0])
 
-        r = Renderer(cam, Shader(0.5, 1.5, 0.0, 10))
+        r = Renderer(cam, Shader(0.5, 1.5, 0.0, 10, **tex))
         r.mesh_proj(data, proj, pat_gray, d_alpha=0.0, d_beta=d_beta)
 
         ir = r.color()
@@ -269,6 +280,11 @@ def main(argv=None):
                     help="projector pattern PNG; procedural dots if absent")
     ap.add_argument("--data_dir", default=None)
     ap.add_argument("--start", type=int, default=0)
+    ap.add_argument("--textured", action="store_true",
+                    help="per-scene procedural albedo texture (3D value "
+                         "noise in the renderer) — gives the ambient "
+                         "images the scene-fixed texture image-based "
+                         "optical flow training needs")
     args = ap.parse_args(argv)
 
     np.random.seed(42)
@@ -314,7 +330,7 @@ def main(argv=None):
     for idx in range(args.start, args.n_samples):
         create_sample(args.pattern_type, out_root, idx, args.n_samples,
                       imsize_proj, imsize, pat_gray, K_proj, K, K_processed,
-                      baseline, blend_im, objs)
+                      baseline, blend_im, objs, textured=args.textured)
 
 
 if __name__ == "__main__":

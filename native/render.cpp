@@ -66,7 +66,54 @@ struct Camera {
 struct Shader {
   float ka, kd, ks, alpha;   // ambient, diffuse, specular, shininess
   float d_alpha, d_beta;     // projector distance attenuation
+  // per-pixel procedural albedo texture (tex_amp = 0 disables): the
+  // interpolated world position is fed through 2-octave 3D value noise and
+  // modulates the albedo — high-frequency texture that moves rigidly WITH
+  // the scene under camera motion, which is what makes image-based optical
+  // flow well-posed on the ambient renders (the per-vertex colors alone
+  // are too low-frequency: the background board has 17x17 vertices)
+  float tex_amp, tex_scale;
+  float tex_ox, tex_oy, tex_oz;
 };
+
+// ---- 3D value noise (hash lattice + smoothstep trilinear) --------------
+static inline float hash3(int32_t x, int32_t y, int32_t z) {
+  uint32_t h = (uint32_t)x * 374761393u + (uint32_t)y * 668265263u +
+               (uint32_t)z * 2246822519u;
+  h = (h ^ (h >> 13)) * 1274126177u;
+  h ^= h >> 16;
+  return (float)(h & 0xFFFFFFu) * (1.f / 16777216.f);   // [0, 1)
+}
+
+static inline float smoothstep01(float t) { return t * t * (3.f - 2.f * t); }
+
+static float vnoise(float x, float y, float z) {
+  float fx = std::floor(x), fy = std::floor(y), fz = std::floor(z);
+  int32_t ix = (int32_t)fx, iy = (int32_t)fy, iz = (int32_t)fz;
+  float tx = smoothstep01(x - fx), ty = smoothstep01(y - fy),
+        tz = smoothstep01(z - fz);
+  float v = 0.f;
+  for (int dz = 0; dz <= 1; ++dz)
+    for (int dy = 0; dy <= 1; ++dy)
+      for (int dx = 0; dx <= 1; ++dx) {
+        float w = (dx ? tx : 1.f - tx) * (dy ? ty : 1.f - ty) *
+                  (dz ? tz : 1.f - tz);
+        v += w * hash3(ix + dx, iy + dy, iz + dz);
+      }
+  return v;
+}
+
+static inline float albedo_texture(const Shader& sh, const Vec3& Xw) {
+  if (sh.tex_amp <= 0.f) return 1.f;
+  float sx = sh.tex_scale * Xw.x + sh.tex_ox;
+  float sy = sh.tex_scale * Xw.y + sh.tex_oy;
+  float sz = sh.tex_scale * Xw.z + sh.tex_oz;
+  float n = 0.65f * vnoise(sx, sy, sz) +
+            0.35f * vnoise(2.7f * sx + 17.31f, 2.7f * sy + 11.17f,
+                           2.7f * sz + 5.73f);
+  float t = 1.f + sh.tex_amp * (2.f * n - 1.f);
+  return std::min(2.f, std::max(0.05f, t));
+}
 
 // Render a z-buffer + per-pixel interpolated attributes for one camera.
 // Attributes: world position (3), normal (3), color (3) — perspective
@@ -163,7 +210,8 @@ static inline float sample_pattern(const float* pattern, int ph, int pw,
 extern "C" {
 
 // cam_params / proj_params layout: [fx, fy, px, py, R(9, row major), t(3)]
-// shader: [ka, kd, ks, alpha, d_alpha, d_beta]
+// shader: [ka, kd, ks, alpha, d_alpha, d_beta,
+//          tex_amp, tex_scale, tex_ox, tex_oy, tex_oz]
 // pattern: (pat_h, pat_w) single channel
 // outputs (height x width): depth, ir, ambient — caller-allocated
 void dis_render_mesh_proj(
@@ -191,6 +239,9 @@ void dis_render_mesh_proj(
   sh.ka = shader_params[0]; sh.kd = shader_params[1];
   sh.ks = shader_params[2]; sh.alpha = shader_params[3];
   sh.d_alpha = shader_params[4]; sh.d_beta = shader_params[5];
+  sh.tex_amp = shader_params[6]; sh.tex_scale = shader_params[7];
+  sh.tex_ox = shader_params[8]; sh.tex_oy = shader_params[9];
+  sh.tex_oz = shader_params[10];
 
   // main G-buffer from the camera
   GBuffer gb(width, height);
@@ -218,6 +269,7 @@ void dis_render_mesh_proj(
       Vec3 Xw = {a[0], a[1], a[2]};
       Vec3 n = normalize({a[3], a[4], a[5]});
       float albedo = (a[6] + a[7] + a[8]) / 3.f;
+      albedo *= albedo_texture(sh, Xw);
 
       // ambient: headlight Lambert from the camera
       Vec3 to_cam_dir = normalize(sub(cam_c, Xw));

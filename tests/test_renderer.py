@@ -77,3 +77,39 @@ def test_occlusion_and_shadow():
     assert ir[near_mask].mean() > 0.05
     shadow_zone = far_mask & (ir < 1e-6)
     assert shadow_zone.sum() > 10, "expected projector shadow on far plane"
+
+
+def test_procedural_albedo_texture():
+    """tex_amp > 0 adds scene-fixed variance to the ambient image; the
+    texture moves rigidly with the scene under camera translation and
+    depth is untouched (native/render.cpp albedo_texture)."""
+    H, W, f = 64, 56, 40.0
+    v, faces, colors = _plane_scene(z=3.0)
+    data = RenderInput(v, faces, colors)
+    proj = Camera(f, f, W / 2, H / 2, np.eye(3), np.array([-0.025, 0, 0]),
+                  W, H)
+    pattern = np.zeros((H, W), np.float32)
+    pattern[::4, ::4] = 1.0
+    tex = dict(tex_amp=0.5, tex_scale=3.0, tex_offset=(1.0, 2.0, 3.0))
+
+    def render(cam_t, **shader_kw):
+        cam = Camera(f, f, W / 2, H / 2, np.eye(3), cam_t, W, H)
+        r = Renderer(cam, Shader(0.5, 1.5, 0.0, 10, **shader_kw))
+        r.mesh_proj(data, proj, pattern)
+        return r
+
+    r_flat = render(np.zeros(3))
+    r_tex = render(np.zeros(3), **tex)
+    cov = r_flat.depth() > 0
+    np.testing.assert_allclose(r_flat.depth(), r_tex.depth())
+    # fronto-parallel constant-albedo plane is flat; texture adds variance
+    assert r_flat.normal()[cov].std() < 1e-5
+    assert r_tex.normal()[cov].std() > 0.01
+
+    # camera shifted +0.1 at z=3 -> image content shifts fx*0.1/3 = -1.33 px
+    # (scene-fixed texture); integer cross-correlation peak at -1
+    r_tex2 = render(np.array([0.1, 0.0, 0.0]), **tex)
+    a, b = r_tex.normal(), r_tex2.normal()
+    prod = np.fft.ifft2(np.fft.fft2(a) * np.conj(np.fft.fft2(b))).real
+    dy, dx = np.unravel_index(prod.argmax(), prod.shape)
+    assert dy == 0 and dx in (W - 1, W - 2), (dy, dx)

@@ -57,22 +57,53 @@ def _settings():
                     baseline=0.025, K=K), K
 
 
+def _smooth_disp(rng, shape):
+    """Scene-like disparity: smooth low-frequency field in ~[10, 80] px.
+
+    The Pallas warp kernels' band-sparsity grids are DATA-dependent (they
+    skip (dy, dx) enumeration chunks outside each band's flow range,
+    ops/pallas/warp_kernel.py::_warp2d_ranges), so white-noise disparity
+    (whose rigid flow spans the full +-max_shift window everywhere) benches
+    the worst case and tiny random flow benches an unrealistic best case
+    (the round-4 bench's +-2 px flow). A smooth field reproduces real-scene
+    locality."""
+    import cv2
+    coarse = rng.uniform(10.0, 80.0, shape[:-2] + (8, 8)).astype(np.float32)
+    flat = coarse.reshape(-1, 8, 8)
+    up = np.stack([cv2.resize(c, (shape[-1], shape[-2]),
+                              interpolation=cv2.INTER_CUBIC) for c in flat])
+    return np.clip(up.reshape(shape), 5.0, 100.0).astype(np.float32)
+
+
 def _batch(bs, with_primary, with_pseudo=False, with_sgm=False):
     from depthinspace_tpu.data.dataset import Batch
     rng = np.random.RandomState(0)
+    disp = _smooth_disp(rng, (TL, bs, H, W))
+    # rigid-geometry flow magnitudes at these disparities/poses are a few
+    # px with smooth spatial variation — the regime the worker sees
+    settings, _ = _settings()
+    t = rng.uniform(-0.05, 0.05, (TL, bs, 3)).astype(np.float32)
+    depth = settings.baseline * settings.focal_length / disp
+    f = settings.focal_length
+    flow = np.empty((TL, TL, bs, H, W, 2), np.float32)
+    for i in range(TL):
+        for j in range(TL):
+            dz = depth[i] + (t[j, :, 2] - t[i, :, 2])[:, None, None]
+            flow[i, j, ..., 0] = f * (t[j, :, 0] - t[i, :, 0])[:, None, None] / dz
+            flow[i, j, ..., 1] = f * (t[j, :, 1] - t[i, :, 1])[:, None, None] / dz
     return Batch(
         im=rng.rand(TL, bs, H, W).astype(np.float32),
         ambient=rng.rand(TL, bs, H, W).astype(np.float32),
-        disp_gt=rng.uniform(1, 100, (TL, bs, H, W)).astype(np.float32),
+        disp_gt=disp,
         R=np.broadcast_to(np.eye(3, dtype=np.float32),
                           (TL, bs, 3, 3)).copy(),
-        t=rng.uniform(-0.1, 0.1, (TL, bs, 3)).astype(np.float32),
-        flow=rng.uniform(-2, 2, (TL, TL, bs, H, W, 2)).astype(np.float32),
-        primary_disp=(rng.uniform(1, 100, (TL, bs, H, W)).astype(np.float32)
+        t=t,
+        flow=flow,
+        primary_disp=(_smooth_disp(rng, (TL, bs, H, W))
                       if with_primary else None),
-        pseudo_gt=(rng.uniform(1, 100, (TL, bs, H, W)).astype(np.float32)
+        pseudo_gt=(_smooth_disp(rng, (TL, bs, H, W))
                    if with_pseudo else None),
-        sgm_disp=(rng.uniform(1, 100, (TL, bs, H, W)).astype(np.float32)
+        sgm_disp=(_smooth_disp(rng, (TL, bs, H, W))
                   if with_sgm else None),
     )
 

@@ -134,25 +134,47 @@ def rigid_flow_device(cam, disp_gt, R, t, focal_length, baseline):
     rigid_flow, itself the reprojection of ops/geometry.py): unproject each
     frame's depth to world, project into every other frame, subtract the
     pixel grid. Returns (tl, tl, bs, H, W, 2) with a zero diagonal — the
-    exact layout the datasets collate from flow.hdf5."""
-    from ..ops.geometry import unproject
+    exact layout the datasets collate from flow.hdf5.
 
+    TPU layout note: the computation runs on SEPARATE x/y/z coordinate
+    planes of shape (..., H, W) instead of (..., P, 3) tensors — a
+    3-extent minor dim occupies 3 of the 128 lanes of a TPU tile, so the
+    (..., P, 3) einsum intermediates invite padded layouts; the planes
+    keep everything on the natural (8, 128) image tiling.  (Measured step
+    time is dominated elsewhere either way — the Pallas warp kernels'
+    data-dependent band sparsity, see bench.py::_smooth_disp — this form
+    is simply the layout-sound one.)
+    """
     tl, bs, H, W = disp_gt.shape
-    depth = disp_to_depth(disp_gt, focal_length, baseline)
-    xyz = unproject(depth.reshape(tl * bs, -1), cam.ray,
-                    R.reshape(tl * bs, 3, 3), t.reshape(tl * bs, 3))
-    xyz = xyz.reshape(tl, bs, -1, 3)
-    # into every target frame j: xyz @ R_j^T + t_j, then K projection
-    xyz_t = (jnp.einsum("sbpj,tbij->tsbpi", xyz, R)
-             + t[:, None, :, None, :])
-    uvd = jnp.einsum("tsbpj,ij->tsbpi", xyz_t, cam.K)
-    uv = uvd[..., :2] / (jax.nn.relu(uvd[..., 2:3]) + 1e-12)
-    flow = (uv.reshape(tl, tl, bs, H, W, 2)
-            - cam.grid[None, None, None])
-    # note the pair order: flow[i, j] must map frame-i pixels into frame j,
-    # i.e. source depth i (axis 's') projected into target j (axis 't') —
-    # einsum output is (t, s, ...), so transpose to (s, t, ...) = (i, j, ...)
-    flow = jnp.swapaxes(flow, 0, 1)
+    depth = disp_to_depth(disp_gt, focal_length, baseline)      # (tl,bs,H,W)
+    rays = [cam.ray[:, k].reshape(H, W) for k in range(3)]      # 3 x (H,W)
+
+    # world xyz per source frame, as 3 planes (tl, bs, H, W):
+    # xyz = (depth * ray - t) @ R   (row-vector convention of unproject)
+    pk = [depth * rays[k][None, None] - t[..., k, None, None]
+          for k in range(3)]
+    xw = [sum(pk[j] * R[:, :, j, k, None, None] for j in range(3))
+          for k in range(3)]
+
+    # into every target frame i: xyz @ R_i^T + t_i, then K projection.
+    # Broadcast to (tl_t, tl_s, bs, H, W) planes — i/j extents stay in
+    # MAJOR dims, H/W keep the (8, 128) tiling.
+    Rt = R[:, None, :, :, :, None, None]                 # (t,1,bs,3,3,1,1)
+    tt = t[:, None, :, :, None, None]                    # (t,1,bs,3,1,1)
+    xc = [sum(xw[j][None] * Rt[:, :, :, k, j] for j in range(3))
+          + tt[:, :, :, k] for k in range(3)]
+    K = cam.K
+    zi = 1.0 / (jax.nn.relu(K[2, 0] * xc[0] + K[2, 1] * xc[1]
+                            + K[2, 2] * xc[2]) + 1e-12)
+    u = (K[0, 0] * xc[0] + K[0, 1] * xc[1] + K[0, 2] * xc[2]) * zi
+    v = (K[1, 0] * xc[0] + K[1, 1] * xc[1] + K[1, 2] * xc[2]) * zi
+
+    # pair order: flow[i, j] maps frame-i pixels into frame j — source
+    # depth i (axis 's') projected into target j (axis 't'); the planes
+    # above are (t, s, ...), so swap to (s, t, ...) = (i, j, ...)
+    flow_u = jnp.swapaxes(u - cam.grid[..., 0][None, None, None], 0, 1)
+    flow_v = jnp.swapaxes(v - cam.grid[..., 1][None, None, None], 0, 1)
+    flow = jnp.stack([flow_u, flow_v], axis=-1)
     diag = jnp.eye(tl, dtype=flow.dtype).reshape(tl, tl, 1, 1, 1, 1)
     return jax.lax.stop_gradient(flow * (1.0 - diag))
 

@@ -118,10 +118,15 @@ def _make_step_fns(model, ctx: LossContext,
         elif ctx.flow_source == "pred" and is_mf:
             # MF: the predicted-disparity provider uses the presaved primary
             # disparities (the SF predictions FuseNet fuses anyway); the SF
-            # variant derives flow from the live prediction in sf_losses
+            # variant derives flow from the live prediction in sf_losses.
+            # optimization_barrier: the flow feeds ~10 consumers across the
+            # fusion blocks; the barrier pins one materialization so XLA
+            # cannot re-fuse the unproject/project chain into each of them
+            # (neutral on the measured step — kept as graph hygiene)
             flow = rigid_flow_device(ctx_full.cam, batch.primary_disp,
                                      batch.R, batch.t, ctx.focal_length,
                                      ctx.baseline)
+            flow = jax.lax.optimization_barrier(flow)
             batch = batch._replace(flow=flow)
         return batch
 

@@ -75,8 +75,65 @@ def _smooth_disp(rng, shape):
     return np.clip(up.reshape(shape), 5.0, 100.0).astype(np.float32)
 
 
+def _real_batch(bs, with_primary, with_pseudo=False, with_sgm=False):
+    """Benchmark batch from ACTUAL dataset samples (test split) with exact
+    rigid flow — the flow-range distribution the warp kernels' band
+    sparsity sees in training. Returns None when no dataset is present."""
+    import pathlib
+    import h5py
+    from depthinspace_tpu.data.dataset import Batch
+    from depthinspace_tpu.data import load_settings
+    from depthinspace_tpu.tools.presave_flow import rigid_flow
+
+    root = pathlib.Path("dataset")
+    if not (root / "settings.pkl").exists():
+        return None
+    dirs = sorted(p for p in root.glob("0*") if (p / "frames.hdf5").exists())
+    dirs = dirs[512:512 + bs]                      # test-split prefix
+    if len(dirs) < bs:
+        return None
+    settings = load_settings(root / "settings.pkl")
+    if tuple(settings.imsize) != (H, W):
+        return None
+    fields = {k: [] for k in ("im", "ambient", "disp", "R", "t", "prim")}
+    for d in dirs:
+        with h5py.File(d / "frames.hdf5", "r") as f:
+            for k in ("im", "ambient", "disp", "R", "t"):
+                fields[k].append(np.asarray(f[k][:TL], np.float32))
+        pp = d / "single_frame_disp.hdf5"
+        if pp.exists():
+            with h5py.File(pp, "r") as f:
+                fields["prim"].append(np.asarray(f["disp"][:TL, 0],
+                                                 np.float32))
+        else:
+            fields["prim"].append(fields["disp"][-1][:, 0])
+    stack = lambda k, sq: np.stack(
+        [a[:, 0] if sq else a for a in fields[k]], axis=1)
+    im, amb = stack("im", True), stack("ambient", True)
+    disp = stack("disp", True)
+    R, t = stack("R", False), stack("t", False)
+    prim = np.stack(fields["prim"], axis=1)
+    K, bl, fo = settings.K, settings.baseline, settings.focal_length
+    flow = np.zeros((TL, TL, bs, H, W, 2), np.float32)
+    for i in range(TL):
+        for j in range(TL):
+            if i == j:
+                continue
+            for b in range(bs):
+                depth = bl * fo / np.maximum(disp[i, b], 1e-6)
+                fl = rigid_flow(depth, K, R[i, b], t[i, b], R[j, b], t[j, b])
+                flow[i, j, b] = np.moveaxis(fl, 0, -1)
+    return Batch(im=im, ambient=amb, disp_gt=disp, R=R, t=t, flow=flow,
+                 primary_disp=prim if with_primary else None,
+                 pseudo_gt=prim if with_pseudo else None,
+                 sgm_disp=disp if with_sgm else None)
+
+
 def _batch(bs, with_primary, with_pseudo=False, with_sgm=False):
     from depthinspace_tpu.data.dataset import Batch
+    real = _real_batch(bs, with_primary, with_pseudo, with_sgm)
+    if real is not None:
+        return real
     rng = np.random.RandomState(0)
     disp = _smooth_disp(rng, (TL, bs, H, W))
     # rigid-geometry flow magnitudes at these disparities/poses are a few
@@ -274,7 +331,18 @@ def main():
 
     sub = {}
 
+    # headline: the reference-parity MF config (presaved/file flow, bs=4,
+    # BASELINE.json configs[2]) on REAL dataset samples with exact rigid
+    # flow — the warp kernels' band-sparsity work is flow-data-dependent,
+    # so synthetic white-noise or tiny-flow batches misreport it (round 4's
+    # 0.897 was measured on +-2 px random flow; see _smooth_disp)
     mf_sps, mf_flops = bench_train("multi_frame", bs=4, n_steps=10)
+    # the GT-free worker configuration that trains in the pipeline:
+    # in-graph pred flow + device augmentation + auto accum=2
+    mf_worker_sps, _ = bench_train("multi_frame", bs=4, n_steps=10,
+                                   flow_source="pred", augment=True,
+                                   accum_steps=2)
+    sub["mf_worker_pred_accum2_steps_per_sec"] = round(mf_worker_sps, 4)
     sf_sps, sf_flops = bench_train("single_frame", bs=8, n_steps=20)
     sub["sf_train_steps_per_sec"] = round(sf_sps, 4)
     sub["sf_train_vs_baseline"] = round(sf_sps / BASELINE_SF_STEPS_PER_SEC, 3)

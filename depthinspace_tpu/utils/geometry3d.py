@@ -252,3 +252,331 @@ def mesh_vertex_normals(verts, faces) -> np.ndarray:
         np.add.at(vn, faces[:, k], fn)
     norm = np.linalg.norm(vn, axis=1, keepdims=True)
     return vn / np.maximum(norm, 1e-12)
+
+
+# ------------------------------------------------ Euler / axis conversions
+# (reference co/geometry.py:76-153 parity surface; fresh formulations)
+def rot_x(a) -> np.ndarray:
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[1, 0, 0], [0, c, -s], [0, s, c]], np.float64)
+
+
+def rot_y(a) -> np.ndarray:
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float64)
+
+
+def rot_z(a) -> np.ndarray:
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float64)
+
+
+def rotm_from_xyz(xyz) -> np.ndarray:
+    """R = Rz(z) @ Ry(y) @ Rx(x) — intrinsic x-y-z Euler angles."""
+    x, y, z = np.asarray(xyz, np.float64)
+    return rot_z(z) @ rot_y(y) @ rot_x(x)
+
+
+def xyz_from_rotm(R) -> np.ndarray:
+    """Inverse of :func:`rotm_from_xyz` (gimbal-safe branch at |cy|~0)."""
+    R = np.asarray(R, np.float64)
+    cy = np.hypot(R[0, 0], R[1, 0])
+    if cy > 1e-9:
+        x = np.arctan2(R[2, 1], R[2, 2])
+        y = np.arctan2(-R[2, 0], cy)
+        z = np.arctan2(R[1, 0], R[0, 0])
+    else:
+        x = np.arctan2(-R[1, 2], R[1, 1])
+        y = np.arctan2(-R[2, 0], cy)
+        z = 0.0
+    return np.array([x, y, z])
+
+
+def rotm_from_lookat(direction, up=None) -> np.ndarray:
+    """Rotation whose +z axis points along ``direction``."""
+    z = np.asarray(direction, np.float64)
+    z = z / np.linalg.norm(z)
+    up = np.array([0.0, 1.0, 0.0]) if up is None else np.asarray(up, float)
+    x = np.cross(up, z)
+    if np.linalg.norm(x) < 1e-12:
+        x = np.array([1.0, 0.0, 0.0])
+    x = x / np.linalg.norm(x)
+    y = np.cross(z, x)
+    return np.stack([x, y, z], axis=0)
+
+
+def nearest_orthogonal_matrix(R) -> np.ndarray:
+    """Closest (Frobenius) rotation to R via SVD with det correction."""
+    U, _, Vt = np.linalg.svd(np.asarray(R, np.float64))
+    D = np.diag([1.0, 1.0, np.sign(np.linalg.det(U @ Vt))])
+    return U @ D @ Vt
+
+
+def axisangle_from_rotm(R) -> np.ndarray:
+    """(3,) rotation vector (axis * angle) — alias view of so3_log."""
+    return so3_log(np.asarray(R, np.float64))
+
+
+def axisangle_from_quat(q) -> np.ndarray:
+    q = quat_normalize(q)
+    # canonical sign (w >= 0) keeps the principal angle in [0, pi] so the
+    # result agrees with so3_log's branch
+    q = np.where(q[..., :1] < 0, -q, q)
+    angle = 2.0 * np.arctan2(np.linalg.norm(q[..., 1:], axis=-1), q[..., 0])
+    n = np.linalg.norm(q[..., 1:], axis=-1, keepdims=True)
+    axis = q[..., 1:] / np.maximum(n, 1e-12)
+    return axis * np.asarray(angle)[..., None]
+
+
+def axisangle_apply(aa, x) -> np.ndarray:
+    """Rotate point(s) x by rotation vector aa (Rodrigues)."""
+    aa = np.asarray(aa, np.float64)
+    x = np.asarray(x, np.float64)
+    theta = np.linalg.norm(aa)
+    if theta < 1e-12:
+        return x.copy()
+    k = aa / theta
+    kx = np.cross(np.broadcast_to(k, x.shape), x)       # k x x per point
+    return (x * np.cos(theta) + kx * np.sin(theta)
+            + k * (x @ k)[..., None] * (1 - np.cos(theta)))
+
+
+# ------------------------------------------------------ spherical / pcl
+def cart_to_spherical(x) -> np.ndarray:
+    """(..., 3) xyz -> (r, theta [polar, from +z], phi [azimuth])."""
+    x = np.asarray(x, np.float64)
+    r = np.linalg.norm(x, axis=-1)
+    theta = np.arccos(np.clip(x[..., 2] / np.maximum(r, 1e-15), -1, 1))
+    phi = np.arctan2(x[..., 1], x[..., 0])
+    return np.stack([r, theta, phi], axis=-1)
+
+
+def spherical_to_cart(s) -> np.ndarray:
+    s = np.asarray(s, np.float64)
+    r, theta, phi = s[..., 0], s[..., 1], s[..., 2]
+    st = np.sin(theta)
+    return np.stack([r * st * np.cos(phi), r * st * np.sin(phi),
+                     r * np.cos(theta)], axis=-1)
+
+
+def spherical_random(r=1.0, n=1, rng=None) -> np.ndarray:
+    """Uniform points on the radius-r sphere."""
+    rng = rng or np.random
+    z = rng.uniform(-1, 1, n)
+    phi = rng.uniform(0, 2 * np.pi, n)
+    s = np.sqrt(1 - z ** 2)
+    out = r * np.stack([s * np.cos(phi), s * np.sin(phi), z], axis=-1)
+    return out[0] if n == 1 else out
+
+
+def center_pcl(pcl, robust=False) -> np.ndarray:
+    """Subtract the (median if robust else mean) center; pcl (N, 3)."""
+    pcl = np.asarray(pcl, np.float64)
+    c = np.median(pcl, axis=0) if robust else pcl.mean(axis=0)
+    return pcl - c
+
+
+# --------------------------------------------- homogeneous / projections
+def to_homogeneous(x) -> np.ndarray:
+    x = np.asarray(x)
+    return np.concatenate([x, np.ones_like(x[..., :1])], axis=-1)
+
+
+def from_homogeneous(x) -> np.ndarray:
+    x = np.asarray(x)
+    return x[..., :-1] / x[..., -1:]
+
+
+def project_xyz(xyz, K=None, R=None, t=None) -> np.ndarray:
+    """World points (N, 3) -> pixel uv (N, 2) under K [R|t]."""
+    xyz = np.asarray(xyz, np.float64)
+    K = np.eye(3) if K is None else np.asarray(K, np.float64)
+    R = np.eye(3) if R is None else np.asarray(R, np.float64)
+    t = np.zeros(3) if t is None else np.asarray(t, np.float64).reshape(3)
+    xc = xyz @ R.T + t
+    uvw = xc @ K.T
+    return uvw[..., :2] / np.maximum(uvw[..., 2:], 1e-15)
+
+
+def relative_motion(R0, t0, R1, t1) -> tuple:
+    """(R, t) taking frame-0 camera coordinates into frame 1
+    (poses given as world->camera)."""
+    R0, R1 = np.asarray(R0, np.float64), np.asarray(R1, np.float64)
+    t0 = np.asarray(t0, np.float64).reshape(3)
+    t1 = np.asarray(t1, np.float64).reshape(3)
+    R = R1 @ R0.T
+    t = t1 - R @ t0
+    return R, t
+
+
+def translation_to_cameracenter(R, t) -> np.ndarray:
+    """World-space camera center C = -R^T t."""
+    return -(np.asarray(R, np.float64).T @ np.asarray(t, np.float64)
+             .reshape(3))
+
+
+def cameracenter_to_translation(R, C) -> np.ndarray:
+    return -(np.asarray(R, np.float64) @ np.asarray(C, np.float64)
+             .reshape(3))
+
+
+def compose_projection_matrix(K=None, R=None, t=None) -> np.ndarray:
+    K = np.eye(3) if K is None else np.asarray(K, np.float64)
+    R = np.eye(3) if R is None else np.asarray(R, np.float64)
+    t = np.zeros(3) if t is None else np.asarray(t, np.float64).reshape(3)
+    return K @ np.concatenate([R, t[:, None]], axis=1)
+
+
+def decompose_projection_matrix(P) -> tuple:
+    """P (3, 4) -> (K, R, t) with K upper triangular, positive diagonal,
+    K[2,2]=1, det(R)=+1 (RQ decomposition via flipped QR)."""
+    P = np.asarray(P, np.float64)
+    M = P[:, :3]
+    # RQ from QR of the antitranspose
+    F = np.flipud(M).T
+    Q, U = np.linalg.qr(F)
+    K = np.flipud(U.T)[:, ::-1]
+    R = np.flipud(Q.T)
+    sgn = np.sign(np.diag(K))
+    sgn[sgn == 0] = 1
+    K = K * sgn[None, :]
+    R = R * sgn[:, None]
+    if np.linalg.det(R) < 0:
+        K[:, 2] *= -1
+        R[2] *= -1
+    t = np.linalg.solve(K, P[:, 3])
+    return K / K[2, 2], R, t
+
+
+# ----------------------------------------------------------------- planes
+def point_plane_distance(pts, plane) -> np.ndarray:
+    """Signed distances of (N, 3) points to plane (a, b, c, d) with
+    ax+by+cz+d = 0 and (a,b,c) unit."""
+    plane = np.asarray(plane, np.float64)
+    n = plane[:3] / np.linalg.norm(plane[:3])
+    d = plane[3] / np.linalg.norm(plane[:3])
+    return np.asarray(pts, np.float64) @ n + d
+
+
+def fit_plane(pts) -> np.ndarray:
+    """Least-squares plane (a, b, c, d) through (N, 3) points (unit
+    normal = smallest singular vector of the centered cloud)."""
+    pts = np.asarray(pts, np.float64)
+    c = pts.mean(axis=0)
+    _, _, Vt = np.linalg.svd(pts - c)
+    n = Vt[-1]
+    return np.concatenate([n, [-n @ c]])
+
+
+# ------------------------------------------------------ primitive meshes
+def tetrahedron():
+    v = np.array([[1, 1, 1], [1, -1, -1], [-1, 1, -1], [-1, -1, 1]],
+                 np.float32) / np.sqrt(3.0)
+    f = np.array([[0, 1, 2], [0, 3, 1], [0, 2, 3], [1, 3, 2]], np.int32)
+    return v, f
+
+
+def cube():
+    v = np.array([[x, y, z] for x in (-1, 1) for y in (-1, 1)
+                  for z in (-1, 1)], np.float32)
+    f = np.array([[0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5],
+                  [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6],
+                  [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3]], np.int32)
+    return v, f
+
+
+def octahedron():
+    v = np.array([[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0],
+                  [0, 0, 1], [0, 0, -1]], np.float32)
+    f = np.array([[0, 2, 4], [2, 1, 4], [1, 3, 4], [3, 0, 4],
+                  [2, 0, 5], [1, 2, 5], [3, 1, 5], [0, 3, 5]], np.int32)
+    return v, f
+
+
+def icosahedron():
+    p = (1.0 + np.sqrt(5.0)) / 2.0
+    v = np.array([[-1, p, 0], [1, p, 0], [-1, -p, 0], [1, -p, 0],
+                  [0, -1, p], [0, 1, p], [0, -1, -p], [0, 1, -p],
+                  [p, 0, -1], [p, 0, 1], [-p, 0, -1], [-p, 0, 1]],
+                 np.float32)
+    v /= np.linalg.norm(v[0])
+    f = np.array([[0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+                  [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+                  [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+                  [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1]],
+                 np.int32)
+    return v, f
+
+
+# ------------------------------------------------------------- mesh ops
+def normalize_mesh(verts) -> np.ndarray:
+    """Center at the bbox midpoint, scale the longest axis to [-0.5, 0.5]."""
+    v = np.asarray(verts, np.float64)
+    lo, hi = v.min(axis=0), v.max(axis=0)
+    return ((v - (lo + hi) / 2) / max((hi - lo).max(), 1e-12)).astype(
+        np.float32)
+
+
+def mesh_independent_verts(verts, faces, normals=None):
+    """Duplicate vertices so every face owns its 3 (per-face attributes)."""
+    verts = np.asarray(verts)
+    faces = np.asarray(faces)
+    flat = faces.reshape(-1)
+    new_v = verts[flat]
+    new_f = np.arange(len(flat), dtype=np.int32).reshape(-1, 3)
+    if normals is None:
+        return new_v, new_f
+    return new_v, new_f, np.asarray(normals)[flat]
+
+
+def subdivide_mesh(verts, faces, n=1):
+    """Loop-style 4-way topological subdivision (midpoint split), n times."""
+    verts = [np.asarray(v, np.float64) for v in np.asarray(verts)]
+    faces = np.asarray(faces, np.int64)
+    for _ in range(n):
+        mids = {}
+        out = []
+
+        def mid(i, j):
+            key = (min(i, j), max(i, j))
+            if key not in mids:
+                verts.append((verts[i] + verts[j]) / 2.0)
+                mids[key] = len(verts) - 1
+            return mids[key]
+
+        for a, b, c in faces:
+            ab, bc, ca = mid(a, b), mid(b, c), mid(c, a)
+            out += [[a, ab, ca], [ab, b, bc], [ca, bc, c], [ab, bc, ca]]
+        faces = np.asarray(out, np.int64)
+    return np.stack(verts).astype(np.float32), faces.astype(np.int32)
+
+
+def mesh_adjust_winding_order(verts, faces, normals) -> np.ndarray:
+    """Flip faces whose geometric normal opposes the mean vertex normal."""
+    verts = np.asarray(verts, np.float64)
+    faces = np.asarray(faces).copy()
+    vn = np.asarray(normals, np.float64)
+    e1 = verts[faces[:, 1]] - verts[faces[:, 0]]
+    e2 = verts[faces[:, 2]] - verts[faces[:, 0]]
+    fn = np.cross(e1, e2)
+    ref = (vn[faces[:, 0]] + vn[faces[:, 1]] + vn[faces[:, 2]]) / 3.0
+    flip = np.sum(fn * ref, axis=1) < 0
+    faces[flip] = faces[flip][:, [0, 2, 1]]
+    return faces
+
+
+def pcl_to_shapecl(pcl, shape="cube", width=1.0, colors=None):
+    """Stamp a primitive mesh at every point of a point cloud; returns
+    (verts, faces[, colors]) — the reference's debug-visualization helper."""
+    base_v, base_f = {"cube": cube, "tetrahedron": tetrahedron,
+                      "octahedron": octahedron,
+                      "icosahedron": icosahedron}[shape]()
+    base_v = base_v * (width / 2.0)
+    pcl = np.asarray(pcl, np.float32).reshape(-1, 3)
+    n, m = len(pcl), len(base_v)
+    verts = (pcl[:, None, :] + base_v[None]).reshape(-1, 3)
+    faces = (base_f[None] + (np.arange(n)[:, None, None] * m)).reshape(-1, 3)
+    if colors is None:
+        return verts, faces.astype(np.int32)
+    col = np.repeat(np.asarray(colors, np.float32).reshape(-1, 3), m, axis=0)
+    return verts, faces.astype(np.int32), col

@@ -177,3 +177,114 @@ def test_streaming_eval_metric_matches_host_path():
     assert abs(met_f.get()["of1"]
                - float((np.abs(es_u16.astype(np.float32) / 256 * (gt_u16 > 0)
                                - gt_u16.astype(np.float32) / 256) > 1).mean())) < 1e-5
+
+
+def test_euler_lookat_orthonormal():
+    rng = np.random.RandomState(3)
+    for _ in range(20):
+        xyz = rng.uniform(-1.2, 1.2, 3)
+        R = g3.rotm_from_xyz(xyz)
+        assert np.allclose(R @ R.T, np.eye(3), atol=1e-10)
+        assert np.isclose(np.linalg.det(R), 1.0)
+        # roundtrip away from gimbal lock
+        back = g3.xyz_from_rotm(R)
+        np.testing.assert_allclose(g3.rotm_from_xyz(back), R, atol=1e-10)
+    d = rng.randn(3)
+    L = g3.rotm_from_lookat(d)
+    assert np.allclose(L @ L.T, np.eye(3), atol=1e-10)
+    # +z row of the lookat frame aligns with the direction
+    np.testing.assert_allclose(L[2], d / np.linalg.norm(d), atol=1e-10)
+    # nearest_orthogonal recovers a perturbed rotation
+    Rn = g3.nearest_orthogonal_matrix(R + rng.randn(3, 3) * 1e-4)
+    assert np.allclose(Rn @ Rn.T, np.eye(3), atol=1e-10)
+
+
+def test_axisangle_roundtrips():
+    rng = np.random.RandomState(4)
+    q = g3.quat_random(rng=rng)
+    aa = g3.axisangle_from_quat(q)
+    R = g3.rotm_from_quat(q)
+    np.testing.assert_allclose(g3.axisangle_from_rotm(R), aa, atol=1e-8)
+    x = rng.randn(5, 3)
+    np.testing.assert_allclose(g3.axisangle_apply(aa, x), x @ R.T,
+                               atol=1e-8)
+
+
+def test_spherical_roundtrip_and_random():
+    rng = np.random.RandomState(5)
+    x = rng.randn(50, 3)
+    np.testing.assert_allclose(
+        g3.spherical_to_cart(g3.cart_to_spherical(x)), x, atol=1e-10)
+    pts = g3.spherical_random(r=2.0, n=500, rng=rng)
+    np.testing.assert_allclose(np.linalg.norm(pts, axis=1), 2.0, atol=1e-9)
+
+
+def test_projection_helpers():
+    rng = np.random.RandomState(6)
+    K = np.array([[400.0, 0, 200], [0, 410.0, 150], [0, 0, 1]])
+    R = g3.rotm_from_quat(g3.quat_random(rng=rng))
+    t = rng.randn(3)
+    P = g3.compose_projection_matrix(K, R, t)
+    K2, R2, t2 = g3.decompose_projection_matrix(P)
+    np.testing.assert_allclose(K2, K, atol=1e-8)
+    np.testing.assert_allclose(R2, R, atol=1e-8)
+    np.testing.assert_allclose(t2, t, atol=1e-8)
+    C = g3.translation_to_cameracenter(R, t)
+    np.testing.assert_allclose(g3.cameracenter_to_translation(R, C), t,
+                               atol=1e-10)
+    # relative motion consistency: projecting through (R01, t01) equals
+    # going world->cam1 directly
+    R1 = g3.rotm_from_quat(g3.quat_random(rng=rng))
+    t1 = rng.randn(3)
+    R01, t01 = g3.relative_motion(R, t, R1, t1)
+    X = rng.randn(10, 3)
+    cam0 = X @ R.T + t
+    np.testing.assert_allclose(cam0 @ R01.T + t01, X @ R1.T + t1,
+                               atol=1e-9)
+    uv = g3.project_xyz(X + [0, 0, 10], K, R * 0 + np.eye(3), [0, 0, 0])
+    assert uv.shape == (10, 2)
+    h = g3.to_homogeneous(X)
+    np.testing.assert_allclose(g3.from_homogeneous(h), X)
+
+
+def test_plane_fit():
+    rng = np.random.RandomState(7)
+    n = np.array([1.0, 2.0, -0.5]); n /= np.linalg.norm(n)
+    d = 0.7
+    basis = np.linalg.svd(n[None])[2][1:]
+    pts = rng.randn(200, 2) @ basis - d * n
+    plane = g3.fit_plane(pts)
+    dist = g3.point_plane_distance(pts, plane)
+    assert np.abs(dist).max() < 1e-9
+    assert abs(abs(plane[:3] @ n) - 1.0) < 1e-9
+
+
+def test_primitive_meshes_and_subdivision():
+    for maker, nv in ((g3.tetrahedron, 4), (g3.cube, 8),
+                      (g3.octahedron, 6), (g3.icosahedron, 12)):
+        v, f = maker()
+        assert v.shape == (nv, 3) and f.min() == 0 and f.max() == nv - 1
+        areas = g3.mesh_triangle_areas(v, f)
+        assert (areas > 0).all()
+    v, f = g3.icosahedron()
+    v2, f2 = g3.subdivide_mesh(v, f, n=1)
+    assert len(f2) == 4 * len(f)
+    # subdivision conserves total area for flat faces
+    np.testing.assert_allclose(g3.mesh_triangle_areas(v2, f2).sum(),
+                               g3.mesh_triangle_areas(v, f).sum(),
+                               rtol=1e-6)
+    iv, if_, _ = g3.mesh_independent_verts(v, f, np.ones_like(v))
+    assert len(iv) == 3 * len(f) and len(if_) == len(f)
+    nv_ = g3.normalize_mesh(v * 3 + 5)
+    assert np.isclose((nv_.max(0) - nv_.min(0)).max(), 1.0, atol=1e-6)
+    # winding-order fix makes all face normals agree with vertex normals
+    vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+    f_bad = f.copy(); f_bad[::2] = f_bad[::2][:, [0, 2, 1]]
+    f_fix = g3.mesh_adjust_winding_order(v, f_bad, vn)
+    e1 = v[f_fix[:, 1]] - v[f_fix[:, 0]]
+    e2 = v[f_fix[:, 2]] - v[f_fix[:, 0]]
+    fn = np.cross(e1, e2)
+    ref = vn[f_fix].mean(axis=1)
+    assert (np.sum(fn * ref, axis=1) > 0).all()
+    sv, sf = g3.pcl_to_shapecl(np.zeros((3, 3)), shape="cube", width=0.5)
+    assert sv.shape == (24, 3) and sf.shape == (36, 3)

@@ -203,10 +203,14 @@ def create_sample(pattern_type, out_root, idx, n_samples, imsize_proj,
     # needs (the plain Lambert ambient is near-textureless; STATUS.md
     # round 4 measured learned/Farneback flow at the zero-flow floor on it)
     tex = {}
+    ka, kd = 0.5, 1.5
     if textured:
-        tex = dict(tex_amp=rng.uniform(0.35, 0.7),
-                   tex_scale=rng.uniform(2.0, 6.0),
+        tex = dict(tex_amp=rng.uniform(0.65, 0.9),
+                   tex_scale=rng.uniform(3.0, 8.0),
                    tex_offset=tuple(rng.uniform(-50, 50, 3)))
+        # non-clipping shading gain (ka+kd <= 1): the default 0.5/1.5
+        # saturates bright surfaces at 1.0 and would flatten the texture
+        ka, kd = 0.4, 0.6
 
     center = np.array([0, 0, 3], np.float32)
     basevec = np.array([-baseline, 0, 0], np.float32)
@@ -215,6 +219,14 @@ def create_sample(pattern_type, out_root, idx, n_samples, imsize_proj,
     d_beta = 0.0 if pattern_type == "default" else 0.35
 
     ret = {k: [] for k in ("im", "ambient", "grad", "disp", "R", "t")}
+    if pattern_type == "real":
+        # the real-capture pipeline ships semi-global-matching disparities
+        # for the warmup loss (reference data/dataset.py real branch); for
+        # the synthetic dress rehearsal an SGM stand-in is derived from the
+        # rendered disparity: correlated noise + invalid dropouts (the same
+        # statistics data/fixture.py::generate_dataset uses, which
+        # tests/test_real_e2e.py validates the warmup terms against)
+        ret["sgm_disp"] = []
     # pattern is pre-grayscaled once in main(); a per-sample mean over the
     # (4096, 4096, 3) pattern costs ~13 s on this host
     pat_gray = pattern.mean(axis=2) if pattern.ndim == 3 else pattern
@@ -233,7 +245,7 @@ def create_sample(pattern_type, out_root, idx, n_samples, imsize_proj,
         proj = Camera(K_proj[0, 0], K_proj[1, 1], K_proj[0, 2], K_proj[1, 2],
                       Rcam, tproj, imsize_proj[1], imsize_proj[0])
 
-        r = Renderer(cam, Shader(0.5, 1.5, 0.0, 10, **tex))
+        r = Renderer(cam, Shader(ka, kd, 0.0, 10, **tex))
         r.mesh_proj(data, proj, pat_gray, d_alpha=0.0, d_beta=d_beta)
 
         ir = r.color()
@@ -260,6 +272,12 @@ def create_sample(pattern_type, out_root, idx, n_samples, imsize_proj,
             post_process(pattern_type, im)[None].astype(np.float32))
         ret["disp"].append(
             post_process(pattern_type, disp)[None].astype(np.float32))
+        if pattern_type == "real":
+            sgm = disp + rng.normal(0, 0.75, disp.shape).astype(np.float32)
+            sgm[rng.rand(*sgm.shape) < 0.25] = 0.0
+            ret["sgm_disp"].append(
+                post_process(pattern_type, np.maximum(sgm, 0.0))[None]
+                .astype(np.float32))
 
     out_dir = Path(out_root) / f"{idx:08d}"
     out_dir.mkdir(exist_ok=True, parents=True)

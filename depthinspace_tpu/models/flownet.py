@@ -97,10 +97,25 @@ class FlowNet(nn.Module):
     supervises all levels."""
     radius: int = 4
     compute_dtype: jnp.dtype = jnp.float32
+    # LCN-normalize every input channel (radius-5, like the DispNet input
+    # contract): correspondence lives in local contrast, and the textured
+    # ambient renders carry their texture at ~1% absolute intensity —
+    # far below the shading/albedo variation that otherwise dominates the
+    # encoder's dynamic range
+    lcn_input: bool = True
 
     @nn.compact
     def __call__(self, img1, img2):
         dt = self.compute_dtype
+        if self.lcn_input:
+            from ..ops import lcn
+
+            def norm(x):
+                n, h, w, c = x.shape
+                flat = jnp.moveaxis(x, -1, 1).reshape(n * c, h, w)
+                out, _ = lcn(flat, 5, 0.05)
+                return jnp.moveaxis(out.reshape(n, c, h, w), 1, -1)
+            img1, img2 = norm(img1), norm(img2)
         enc = _Encoder(dtype=dt, name="encoder")
         p1 = enc(img1.astype(dt))
         p2 = enc(img2.astype(dt))

@@ -225,6 +225,14 @@ def build_steps(model, ctx: LossContext, optimizer: optax.GradientTransformation
     train_jit = jax.jit(train_step, donate_argnums=(0,))
     eval_jit = jax.jit(eval_step)
 
+    # DIS_EXEC_CACHE=<dir>: reuse compiled executables across processes
+    # (the per-process XLA compile-cache keys make every fresh process pay
+    # its compiles again — utils/execache.py has the measurements)
+    from ..utils.execache import CachingJit, cache_dir
+    if cache_dir() is not None:
+        train_jit = CachingJit(train_jit, f"{architecture}_train")
+        eval_jit = CachingJit(eval_jit, f"{architecture}_eval")
+
     def train_step_pub(state, batch, epoch):
         return train_jit(state, batch, epoch, consts)
 

@@ -35,6 +35,21 @@ class Settings:
     def imsize_at_scale(self, sidx: int) -> tuple[int, int]:
         return (self.imsize[0] // (2 ** sidx), self.imsize[1] // (2 ** sidx))
 
+    def focal_length_at_scale(self, sidx: int) -> float:
+        """Per-level focal length (reference data/dataset.py:63)."""
+        return float(self.K[0, 0]) / (2 ** sidx)
+
+    def pattern_at_scale(self, sidx: int) -> np.ndarray:
+        """Projector pattern resized to the sidx-th pyramid level with the
+        reference's interpolation (reference data/dataset.py:57-60)."""
+        if sidx == 0:
+            return self.pattern
+        import cv2
+
+        h, w = self.imsize_at_scale(sidx)
+        return cv2.resize(self.pattern, (w, h),
+                          interpolation=cv2.INTER_LINEAR).astype(np.float32)
+
     def pattern_gray(self) -> np.ndarray:
         """Channel-mean single-channel pattern (reference
         model/networks.py:344)."""

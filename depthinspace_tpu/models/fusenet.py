@@ -247,11 +247,12 @@ class Block2D3D(nn.Module):
             # (identical math — warp2d is independent per batch image; the
             # band-sparsity ranges are computed per image either way) so the
             # launch overhead and grid pipelining amortize across pairs.
-            # flow_warp_pairs gathers the source planes inside the kernel —
-            # each plane is warped toward tl-1 targets, so the pair-major
-            # source stack (3x the features, restacked per fusion block)
-            # never hits HBM and the backward accumulates straight into
-            # per-source gradients.
+            # By default flow_warp_pairs MATERIALIZES the pair-major source
+            # stack (static-slice restack, tl-1 copies per fusion block)
+            # before the kernel; the in-kernel source gather that avoids
+            # that HBM traffic exists (ops/pallas/warp2d_pairs.py) but is
+            # opt-in via DIS_WARP_PAIRS=1 until its on-hardware win is
+            # confirmed (scripts/bench_warp_pairs.py).
             N = f.shape[1]
             flows = jnp.stack([fl[i, j] for i in range(tl)
                                for j in order[i][1:]], axis=0)

@@ -49,6 +49,22 @@ def test_dataset_shapes(batch_and_settings):
     assert batch.im.dtype == np.float32
 
 
+def test_pyramid_surface(fixture_dir):
+    """Per-scale getK / focal / pattern parity surface (reference
+    data/dataset.py:56-63,190-193)."""
+    settings = load_settings(fixture_dir / "settings.pkl")
+    ds = TrackDataset(settings, sorted(str(p) for p in fixture_dir.glob("0*")),
+                      train=False)
+    for s in range(4):
+        K = ds.getK(s)
+        np.testing.assert_allclose(K[0, 0], settings.K[0, 0] / 2 ** s)
+        np.testing.assert_allclose(K[:2, 2], settings.K[:2, 2] / 2 ** s)
+        assert K[2, 2] == 1.0  # reference re-pins the homogeneous 1
+        assert settings.focal_length_at_scale(s) == K[0, 0]
+        h, w = settings.imsize_at_scale(s)
+        assert settings.pattern_at_scale(s).shape == (h, w, 3)
+
+
 def test_geometric_loss_zero_at_gt(batch_and_settings):
     batch, settings = batch_and_settings
     H, W = settings.imsize

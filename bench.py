@@ -326,8 +326,14 @@ def bench_sf_inference(bs=32, n_iters=20):
 
 
 def main():
+    import os
+
     from depthinspace_tpu.utils.jaxcfg import enable_compilation_cache
     enable_compilation_cache()
+    # reuse compiled executables across bench processes (utils/execache.py;
+    # skips only COMPILE time — execution is bit-identical, so measured
+    # steps/s are unaffected)
+    os.environ.setdefault("DIS_EXEC_CACHE", "output/execache")
 
     sub = {}
 

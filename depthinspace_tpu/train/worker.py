@@ -581,6 +581,12 @@ class Worker:
 
     def retest(self, epoch=-1):
         test_sets = self.make_test_sets()
+        # an explicit retest always evaluates: the per-epoch test_frequency
+        # cadence (reference data/base_dataset.py:29-37) only rate-limits
+        # the in-training eval loop — inheriting it here silently skipped
+        # retests of epochs where (epoch+1) % frequency != 0
+        for ts in test_sets:
+            ts.test_frequency = 1
         epochs = range(self.cfg.epochs) if epoch < 0 else [epoch]
         template = self.init_params()
         for ep in epochs:

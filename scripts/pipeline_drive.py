@@ -107,6 +107,7 @@ def main():
         cfg = mkcfg(architecture, epochs=epoch + 1, write_debug_images=False,
                     **kw)
         cfg.test_samples = -1
+        cfg.test_frequency = 1   # retests must never skip on the eval cadence
         w = worker_cls(cfg)
         w.retest(epoch=epoch)
 

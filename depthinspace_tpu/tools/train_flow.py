@@ -200,6 +200,11 @@ def main(argv=None):
                     help="mid-training learned-EPE checks (0 = end only)")
     ap.add_argument("--in_channels", type=int, default=2, choices=[1, 2],
                     help="2 = [ambient, IR] (see load_pair docstring)")
+    ap.add_argument("--pool_cache", default="",
+                    help="npz path: load the pair pool from it if present, "
+                         "else build then save — lets the CPU-bound pool "
+                         "build run ahead of (and decoupled from) the TPU "
+                         "training pass on the 1-core host")
     ap.add_argument("--pool_size", type=int, default=1024,
                     help="in-RAM wire-encoded training-pair pool (the "
                          "1-core host cannot read+label pairs per step)")
@@ -227,8 +232,19 @@ def main(argv=None):
     crop = tuple(args.crop) if args.crop and args.crop[0] > 0 else None
     rng = np.random.RandomState(args.seed)
     net = FlowNet()
-    pool = PairPool(data_root, train, K, baseline, focal, args.pool_size,
-                    rng, args.in_channels)
+    cache_p = Path(args.pool_cache) if args.pool_cache else None
+    if cache_p is not None and cache_p.exists():
+        z = np.load(cache_p)
+        pool = PairPool.__new__(PairPool)
+        pool.a, pool.b, pool.gt = z["a"], z["b"], z["gt"]
+        print(f"pair pool loaded from {cache_p}: {len(pool.a)} pairs",
+              flush=True)
+    else:
+        pool = PairPool(data_root, train, K, baseline, focal, args.pool_size,
+                        rng, args.in_channels)
+        if cache_p is not None:
+            np.savez(cache_p, a=pool.a, b=pool.b, gt=pool.gt)
+            print(f"pair pool saved to {cache_p}", flush=True)
     im1, im2, gt = pool.batch(rng, args.batch_size, crop)
     params = net.init(jax.random.key(args.seed),
                       jnp.zeros(im1.shape, jnp.float32),
